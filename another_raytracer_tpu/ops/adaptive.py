@@ -1,0 +1,208 @@
+"""Adaptive hierarchical subsampling (the reference's default render mode).
+
+Behavioral port of ``engine::_run_adaptive`` (engine.h:96-333): the image is
+tiled into 12x12 "big squares"; the 4 corner pixels of each square are path
+traced at full spp into a gamma-corrected int work frame; if all 6.. pairwise
+edge distances (sum of squared RGB deltas) are <= 100 the interior is
+bilinearly interpolated *in gamma-int space* (the reference's documented
+darkening bias, engine.h:139-149); otherwise the square recurses to 6x6 then
+3x3, and at 3x3 the 5 non-corner pixels are traced exactly.
+
+TPU-native structure: the scalar tree walk becomes a level-by-level masked
+wavefront —
+  level 0: trace all big-square corners (fixed pixel set, one device batch);
+  level k: the host reads back the tiny per-square heuristic bits, gathers
+           the next level's pixel ids, pads them to a power-of-two bucket,
+           and launches one fixed-shape device batch (so XLA compiles a
+           handful of bucket sizes, not per-frame shapes);
+  fill:    interpolation runs on host in int space — O(W*H) cold arithmetic.
+Ray tracing (the 99.9% of the work) stays on device with static shapes; the
+irregular control flow stays on host.  Divisibility contract preserved:
+raises unless 12 | W and 12 | H (engine.h:181-183).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from another_raytracer_tpu.config import RenderConfig
+from another_raytracer_tpu.ops import camera as camera_lib  # noqa: F401 (API surface)
+from another_raytracer_tpu.ops import render as render_lib
+
+SUBDIVIDE_THRESH = 100  # engine.h:98
+MIN_BUCKET = 1024
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "samples_per_pass", "max_depth", "t_min"),
+)
+def _trace_pixels(scene, cam, pixel_ids, seed, *, width, height, spp,
+                  samples_per_pass, max_depth, t_min):
+    return render_lib.radiance_batch(
+        scene, cam, pixel_ids, seed, width=width, height=height,
+        sample_start=0, n_samples=spp, spp_cap=spp,
+        samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
+    )
+
+
+def _bucket(n: int) -> int:
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def _to_int_color(radiance_sum, spp):
+    """write_color<int>: mean, gamma-2, clamp [0,0.999], x256, truncate
+    (color.h:13-22)."""
+    c = np.sqrt(np.maximum(radiance_sum / spp, 0.0))
+    return (256.0 * np.clip(c, 0.0, 0.999)).astype(np.int64)
+
+
+def _heuristic(work, xs, ys, size):
+    """Corner-difference subdivision test (engine.h:96-137) for squares with
+    upper-left pixels (xs, ys) [vectorized]; returns bool array."""
+    s = size - 1
+    c1 = work[ys, xs].astype(np.int64)  # up-left
+    c2 = work[ys, xs + s].astype(np.int64)  # up-right
+    c3 = work[ys + s, xs].astype(np.int64)  # bottom-left
+    c4 = work[ys + s, xs + s].astype(np.int64)  # bottom-right
+    d1 = ((c1 - c2) ** 2).sum(-1)
+    d2 = ((c2 - c4) ** 2).sum(-1)
+    d3 = ((c4 - c3) ** 2).sum(-1)
+    d4 = ((c3 - c1) ** 2).sum(-1)
+    return (
+        (d1 > SUBDIVIDE_THRESH) | (d2 > SUBDIVIDE_THRESH)
+        | (d3 > SUBDIVIDE_THRESH) | (d4 > SUBDIVIDE_THRESH)
+    )
+
+
+def _interpolate_squares(work, xs, ys, size):
+    """Bilinear fill of each square's un-evaluated pixels from its corner
+    colors, in gamma-int space with truncation (engine.h:139-149,186-219)."""
+    if len(xs) == 0:
+        return
+    s = size - 1
+    q11 = work[ys, xs].astype(np.float64)  # (x1, y1)
+    q12 = work[ys + s, xs].astype(np.float64)  # (x1, y2)
+    q21 = work[ys, xs + s].astype(np.float64)  # (x2, y1)
+    q22 = work[ys + s, xs + s].astype(np.float64)  # (x2, y2)
+    for l in range(size):
+        wy = l / s
+        for k in range(size):
+            if (k, l) in ((0, 0), (s, 0), (0, s), (s, s)):
+                continue
+            wx = k / s
+            r1 = (1 - wx) * q11 + wx * q21
+            r2 = (1 - wx) * q12 + wx * q22
+            val = ((1 - wy) * r1 + wy * r2).astype(np.int64)
+            px = xs + k
+            py = ys + l
+            not_eval = work[py, px, 0] < 0  # don't overwrite evaluated pixels
+            work[py[not_eval], px[not_eval]] = val[not_eval]
+
+
+def render_adaptive(scene, cam, config: RenderConfig):
+    """Adaptive render -> (uint8 image [H,W,3], stats).
+
+    stats['traced_pixels'] counts pixels actually path traced (the honest
+    workload measure the reference's kRay/s metric overcounts)."""
+    W, H = config.width, config.height
+    big = config.adaptive_tile
+    if big % 2 != 0 or (big // 2) % 2 != 0:
+        raise ValueError("adaptive tile must be divisible by 4 (12 canonical)")
+    mid, small = big // 2, big // 4
+    if W % big or H % big:
+        raise ValueError(
+            "for adaptive strategy image size should perfectly fit big square size for now!!"
+        )
+
+    spp = config.samples_per_pixel
+    work = np.full((H, W, 3), -1, np.int64)
+    total_segments = 0
+    traced = 0
+
+    def eval_pixels(px, py):
+        """Trace (unique) pixels at full spp into the work frame."""
+        nonlocal total_segments, traced
+        if len(px) == 0:
+            return
+        flat = np.unique(py.astype(np.int64) * W + px.astype(np.int64))
+        traced += len(flat)
+        b = _bucket(len(flat))
+        padded = np.full(b, flat[0], np.uint32)
+        padded[: len(flat)] = flat
+        acc, segs = _trace_pixels(
+            scene, cam, jnp.asarray(padded), jnp.uint32(config.seed),
+            width=W, height=H, spp=spp,
+            samples_per_pass=config.samples_per_pass,
+            max_depth=config.max_depth, t_min=config.t_min,
+        )
+        acc = np.asarray(acc)[: len(flat)]
+        total_segments += int(segs)  # padding overcount is bounded by bucket
+        work[flat // W, flat % W] = _to_int_color(acc, spp)
+
+    # --- level 0: big-square corners --------------------------------------
+    bx, by = np.meshgrid(np.arange(0, W, big), np.arange(0, H, big))
+    bx, by = bx.ravel(), by.ravel()
+    offs = np.array([0, big - 1])
+    cx, cy = np.broadcast_arrays(
+        bx[:, None, None] + offs[None, :, None],
+        by[:, None, None] + offs[None, None, :],
+    )
+    eval_pixels(cx.ravel(), cy.ravel())
+    sub_big = _heuristic(work, bx, by, big)
+
+    # flat big squares -> interpolate now
+    _interpolate_squares(work, bx[~sub_big], by[~sub_big], big)
+
+    # --- level 1: mid-square corners inside subdivided bigs ----------------
+    # enumerate the 4 mid squares per subdivided big square
+    sx = (bx[sub_big][:, None] + np.array([0, mid, 0, mid])[None, :]).ravel()
+    sy = (by[sub_big][:, None] + np.array([0, 0, mid, mid])[None, :]).ravel()
+    offs_m = np.array([0, mid - 1])
+    cx, cy = np.broadcast_arrays(
+        sx[:, None, None] + offs_m[None, :, None],
+        sy[:, None, None] + offs_m[None, None, :],
+    )
+    eval_pixels(cx.ravel(), cy.ravel())
+    sub_mid = _heuristic(work, sx, sy, mid) if len(sx) else np.zeros(0, bool)
+    _interpolate_squares(work, sx[~sub_mid], sy[~sub_mid], mid)
+
+    # --- level 2: small-square corners inside subdivided mids --------------
+    tx = (sx[sub_mid][:, None] + np.array([0, small, 0, small])[None, :]).ravel()
+    ty = (sy[sub_mid][:, None] + np.array([0, 0, small, small])[None, :]).ravel()
+    offs_s = np.array([0, small - 1])
+    cx, cy = np.broadcast_arrays(
+        tx[:, None, None] + offs_s[None, :, None],
+        ty[:, None, None] + offs_s[None, None, :],
+    )
+    eval_pixels(cx.ravel(), cy.ravel())
+    sub_small = _heuristic(work, tx, ty, small) if len(tx) else np.zeros(0, bool)
+    _interpolate_squares(work, tx[~sub_small], ty[~sub_small], small)
+
+    # --- level 3: exact trace of remaining pixels of subdivided smalls -----
+    # For small=3 these are the 5 non-corner pixels (engine.h:265-277); for
+    # general small sizes: every not-yet-evaluated pixel in the square.
+    ex_list_x, ex_list_y = [], []
+    for k in range(small):
+        for l in range(small):
+            if (k, l) in ((0, 0), (small - 1, 0), (0, small - 1), (small - 1, small - 1)):
+                continue
+            ex_list_x.append(tx[sub_small] + k)
+            ex_list_y.append(ty[sub_small] + l)
+    if ex_list_x:
+        eval_pixels(np.concatenate(ex_list_x), np.concatenate(ex_list_y))
+
+    assert (work >= 0).all(), "adaptive fill left unevaluated pixels"
+    img = work.astype(np.uint8)
+    return img, {
+        "segments": total_segments,
+        "traced_pixels": traced,
+        "total_pixels": W * H,
+    }

@@ -1,0 +1,128 @@
+"""Thin-lens perspective camera with defocus blur and a motion-blur shutter.
+
+Behavioral contract from the reference ``camera`` (src/engine/camera.h:8-47):
+orthonormal basis from lookfrom/lookat/vup, viewport from vfov + aspect,
+focal plane at ``focus_dist``, ``lens_radius = aperture/2``, per-ray lens-disk
+origin jitter and a uniform random time in the shutter window [time0, time1].
+
+Here the camera is a small pytree of precomputed vectors and ``generate_rays``
+produces a whole batch of primary rays at once from pixel/sample id arrays,
+with all randomness drawn from the counter-based RNG (ops/rng.py).
+Pixel addressing matches the reference sampler (src/engine/engine.h:58-68):
+``u = (i + xi) / (W-1)``, ``v = ((H-1-j) + xi) / (H-1)`` — row j=0 is the top
+of the image.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.struct
+import jax.numpy as jnp
+
+from another_raytracer_tpu.ops import rng, vecmath
+
+
+@flax.struct.dataclass
+class Camera:
+    origin: jnp.ndarray  # [3]
+    lower_left: jnp.ndarray  # [3]
+    horizontal: jnp.ndarray  # [3]
+    vertical: jnp.ndarray  # [3]
+    u: jnp.ndarray  # [3] camera-right basis vector
+    v: jnp.ndarray  # [3] camera-up basis vector
+    lens_radius: jnp.ndarray  # [] scalar
+    time0: jnp.ndarray  # [] shutter open
+    time1: jnp.ndarray  # [] shutter close
+
+
+def make_camera(
+    lookfrom,
+    lookat,
+    vup=(0.0, 1.0, 0.0),
+    vfov=40.0,
+    aspect_ratio=4.0 / 3.0,
+    aperture=0.0,
+    focus_dist=10.0,
+    time0=0.0,
+    time1=0.0,
+    dtype=jnp.float32,
+) -> Camera:
+    """Construct the camera basis (reference ctor camera.h:8-36).
+
+    Defaults mirror the app wiring: vup=(0,1,0), focus_dist=10, shutter [0,1]
+    are fixed at src/main.cpp:33-35; vfov/aperture are per-scene
+    (src/scene_manager.cpp:260-355).
+    """
+    lookfrom = jnp.asarray(lookfrom, dtype)
+    lookat = jnp.asarray(lookat, dtype)
+    vup = jnp.asarray(vup, dtype)
+
+    theta = math.radians(float(vfov))
+    h = math.tan(theta / 2.0)
+    viewport_height = 2.0 * h
+    viewport_width = float(aspect_ratio) * viewport_height
+
+    w = vecmath.unit(lookfrom - lookat)
+    u = vecmath.unit(jnp.cross(vup, w))
+    v = jnp.cross(w, u)
+
+    horizontal = focus_dist * viewport_width * u
+    vertical = focus_dist * viewport_height * v
+    lower_left = lookfrom - horizontal / 2 - vertical / 2 - focus_dist * w
+
+    return Camera(
+        origin=lookfrom,
+        lower_left=lower_left,
+        horizontal=horizontal,
+        vertical=vertical,
+        u=u,
+        v=v,
+        lens_radius=jnp.asarray(aperture / 2.0, dtype),
+        time0=jnp.asarray(time0, dtype),
+        time1=jnp.asarray(time1, dtype),
+    )
+
+
+def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, seed):
+    """Batched primary-ray generation.
+
+    Args:
+      cam: Camera pytree.
+      pixel_ids: uint32 [B] flat pixel index ``j * width + i``.
+      sample_ids: uint32 [B] sample index within the pixel.
+      width, height: static image dims.
+      seed: RNG seed (python int or uint32 scalar).
+
+    Returns:
+      (origins [B,3], directions [B,3], times [B]).
+
+    Matches ``engine::_stochastic_sample`` pixel->uv mapping (engine.h:58-68)
+    and ``camera::get_ray`` (camera.h:38-47).
+    """
+    pixel_ids = jnp.asarray(pixel_ids, jnp.uint32)
+    sample_ids = jnp.asarray(sample_ids, jnp.uint32)
+
+    i = (pixel_ids % jnp.uint32(width)).astype(jnp.float32)
+    j = (pixel_ids // jnp.uint32(width)).astype(jnp.float32)
+
+    ju, jv = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_PIXEL_JITTER)
+    lu, lv = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_LENS)
+    tu, _ = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_TIME)
+
+    s = (i + ju) / jnp.float32(width - 1)
+    t = (jnp.float32(height - 1) - j + jv) / jnp.float32(height - 1)
+
+    rd = cam.lens_radius * vecmath.in_unit_disk_from_uniforms(lu, lv)
+    offset = rd[..., 0:1] * cam.u + rd[..., 1:2] * cam.v
+
+    origin = cam.origin + offset
+    direction = (
+        cam.lower_left
+        + s[..., None] * cam.horizontal
+        + t[..., None] * cam.vertical
+        - cam.origin
+        - offset
+    )
+    time = cam.time0 + tu * (cam.time1 - cam.time0)
+    return origin, direction, time

@@ -1,0 +1,117 @@
+"""Top-level render driver: pixels × samples -> radiance sums -> pixels.
+
+Replaces ``engine<W,H,C>::run`` and its per-mode loops (engine.h:30-54).  One
+jitted pass traces all pixels at ``samples_per_pass`` samples; a ``lax.scan``
+over passes accumulates the per-pixel radiance sum; ``ops.color`` applies the
+spp-average + gamma-2 + clamp of the reference's write_color (color.h:13-22).
+
+Device-parallel modes (stripes = pixel sharding, images = spp sharding +
+psum) live in ``parallel/sharding.py``; adaptive subsampling in
+``ops/adaptive.py``.  This module is the single-device "single" mode that all
+of those reuse.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from another_raytracer_tpu.config import RenderConfig, RenderMode
+from another_raytracer_tpu.ops import camera as camera_lib
+from another_raytracer_tpu.ops import color as color_lib
+from another_raytracer_tpu.ops import integrator
+
+
+def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
+                   sample_start, n_samples, spp_cap, samples_per_pass,
+                   max_depth, t_min, differentiable=False):
+    """Radiance sums for an arbitrary pixel batch over samples
+    [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
+
+    The building block for every render mode: single calls it with all
+    pixels; stripes shard the pixel axis; parallel_images shards the sample
+    range (then psums).  Because the RNG is keyed on absolute (pixel, sample)
+    ids, any partition produces identical contributions.
+
+    Returns (radiance_sum [Np, 3], segments [] int32).
+    """
+    n_pixels = pixel_ids.shape[0]
+    spass = min(samples_per_pass, n_samples)
+    n_chunks = -(-n_samples // spass)
+
+    # Sample-major ray layout: rays[s*Np + p] belongs to pixel p, sample s.
+    pix = jnp.tile(pixel_ids, spass)
+    samp_offsets = jnp.repeat(jnp.arange(spass, dtype=jnp.uint32), n_pixels)
+
+    def one_pass(carry, chunk):
+        acc, segments = carry
+        sample_ids = samp_offsets + sample_start + chunk * spass
+        o, d, time = camera_lib.generate_rays(cam, pix, sample_ids, width, height, seed)
+        radiance, segs = integrator.trace(
+            scene, o, d, time, pix, sample_ids, seed, max_depth, t_min,
+            differentiable=differentiable,
+        )
+        # Mask samples beyond the range (ragged last chunk / spp cap).
+        valid = (sample_ids < jnp.uint32(sample_start) + n_samples) & (sample_ids < spp_cap)
+        radiance = jnp.where(valid[:, None], radiance, 0.0)
+        acc = acc + radiance.reshape(spass, n_pixels, 3).sum(axis=0)
+        return (acc, segments + segs), None
+
+    init = (jnp.zeros((n_pixels, 3), jnp.float32), jnp.int32(0))
+    if n_chunks == 1:
+        (acc, segments), _ = one_pass(init, jnp.uint32(0))
+    else:
+        (acc, segments), _ = jax.lax.scan(
+            init=init, xs=jnp.arange(n_chunks, dtype=jnp.uint32), f=one_pass
+        )
+    return acc, segments
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "samples_per_pass", "max_depth",
+                     "t_min", "differentiable"),
+)
+def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
+                    max_depth, t_min, differentiable=False):
+    """Per-pixel radiance sums over ``spp`` samples.
+
+    Returns (radiance_sum [H*W, 3], segments [] int32).  The sum is
+    un-averaged, exactly like ``_stochastic_sample`` returning the raw sample
+    sum (engine.h:58-68) with averaging deferred to write_color.
+    """
+    pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    return radiance_batch(
+        scene, cam, pixel_ids, seed, width=width, height=height,
+        sample_start=0, n_samples=spp, spp_cap=spp,
+        samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
+        differentiable=differentiable,
+    )
+
+
+def render(scene, cam, config: RenderConfig):
+    """Render to a uint8 image [H, W, 3].
+
+    Returns (image uint8 [H,W,3], stats dict with 'segments' — the honest
+    bounce-ray count, unlike the reference's nominal primary-only kRay/s
+    metric at main.cpp:50-53).
+    """
+    if config.mode in (RenderMode.PARALLEL_STRIPES, RenderMode.PARALLEL_IMAGES):
+        from another_raytracer_tpu.parallel import sharding
+        return sharding.render_sharded(scene, cam, config)
+    if config.mode == RenderMode.ADAPTIVE:
+        from another_raytracer_tpu.ops import adaptive
+        return adaptive.render_adaptive(scene, cam, config)
+
+    acc, segments = render_radiance(
+        scene, cam, jnp.uint32(config.seed),
+        width=config.width, height=config.height, spp=config.samples_per_pixel,
+        samples_per_pass=config.samples_per_pass, max_depth=config.max_depth,
+        t_min=config.t_min,
+    )
+    img = color_lib.to_uint8(acc, config.samples_per_pixel)
+    img = np.asarray(img).reshape(config.height, config.width, 3)
+    return img, {"segments": int(segments)}

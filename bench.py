@@ -1,0 +1,88 @@
+"""Benchmark: Mrays/s/chip, forward + backward, Cornell box.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against the first recorded value of this same benchmark (BASELINE.json
+"published" is empty), so it is 1.0 until a prior round's number exists in
+BENCH_BASELINE.json.
+
+Ray counting is honest: actual traced segments including bounce rays
+(forward pass), unlike the reference's nominal primary-only kRay/s
+(main.cpp:50-53).  The timed region is one full differentiable step:
+forward radiance + gradients w.r.t. material/texture parameters.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from another_raytracer_tpu.grad import diff
+    from another_raytracer_tpu.models import library
+    from another_raytracer_tpu.ops import camera as camera_lib
+    from another_raytracer_tpu.ops import render as render_lib
+
+    width, height, spp, depth = 360, 270, 16, 8
+    spass = 4
+
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=width / height, **cam_params)
+    params, _ = diff.split_params(scene)
+    target = jnp.zeros((width * height, 3), jnp.float32)
+
+    # Honest segment count from an (untimed) forward render.
+    _, segments = jax.jit(
+        lambda s, c: render_lib.render_radiance(
+            s, c, jnp.uint32(0), width=width, height=height, spp=spp,
+            samples_per_pass=spass, max_depth=depth, t_min=1e-3,
+            differentiable=True,
+        )
+    )(scene, cam)
+    segments = int(segments)
+
+    step = jax.jit(
+        lambda p, s, c, t: jax.value_and_grad(diff.render_loss)(
+            p, s, c, t, jnp.uint32(0), width=width, height=height, spp=spp,
+            samples_per_pass=spass, max_depth=depth, t_min=1e-3,
+        )
+    )
+
+    # Warm up / compile.
+    loss, grads = step(params, scene, cam, target)
+    jax.block_until_ready(grads)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(params, scene, cam, target)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    mrays = segments / dt / 1e6
+
+    vs_baseline = 1.0
+    base_path = Path(__file__).parent / "BENCH_BASELINE.json"
+    if base_path.exists():
+        try:
+            base = json.loads(base_path.read_text()).get("value")
+            if base:
+                vs_baseline = mrays / base
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "cornell_box_fwd_bwd",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

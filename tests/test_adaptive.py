@@ -1,0 +1,54 @@
+"""Adaptive subsampling: traced pixels match the exact render; interpolated
+pixels are plausible; contract errors match the reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from another_raytracer_tpu.config import RenderConfig, RenderMode
+from another_raytracer_tpu.models import library
+from another_raytracer_tpu.ops import camera as camera_lib
+from another_raytracer_tpu.ops import color as color_lib
+from another_raytracer_tpu.ops import render as render_lib
+
+W, H, SPP, DEPTH = 48, 36, 4, 4
+
+
+def test_adaptive_matches_exact_on_traced_pixels():
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP, max_depth=DEPTH,
+                       seed=1, samples_per_pass=2, mode=RenderMode.ADAPTIVE)
+    img, stats = render_lib.render(scene, cam, cfg)
+    assert img.shape == (H, W, 3)
+    assert 0 < stats["traced_pixels"] <= W * H
+
+    exact, _ = render_lib.render_radiance(
+        scene, cam, jnp.uint32(1), width=W, height=H, spp=SPP,
+        samples_per_pass=2, max_depth=DEPTH, t_min=1e-3,
+    )
+    exact_img = np.asarray(color_lib.to_uint8(exact, SPP)).reshape(H, W, 3)
+
+    # Big-square corner pixels are always traced exactly: identical values.
+    corner_mask = np.zeros((H, W), bool)
+    for yy in range(0, H, 12):
+        for xx in range(0, W, 12):
+            for dy in (0, 11):
+                for dx in (0, 11):
+                    corner_mask[yy + dy, xx + dx] = True
+    assert np.array_equal(img[corner_mask], exact_img[corner_mask])
+
+    # Whole image should be close to exact (interpolation only fills flats).
+    diff = np.abs(img.astype(int) - exact_img.astype(int))
+    assert np.median(diff) <= 3
+    # The adaptive pass must actually skip work on this scene (flat walls).
+    assert stats["traced_pixels"] < 0.95 * W * H
+
+
+def test_adaptive_divisibility_contract():
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=1.0, **cam_params)
+    cfg = RenderConfig(width=50, height=36, samples_per_pixel=2, max_depth=2,
+                       mode=RenderMode.ADAPTIVE)
+    with pytest.raises(ValueError, match="perfectly fit"):
+        render_lib.render(scene, cam, cfg)

@@ -1,0 +1,100 @@
+"""Device renderer (f32, fused/vectorized) vs independent NumPy oracle (f64,
+sequential closest-hit).  Same RNG draws on both sides, so images agree to
+float32 tolerance except for rare decision-boundary flips (dielectric branch,
+silhouette hits); the assertions allow a small flip budget.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from another_raytracer_tpu.models import library
+from another_raytracer_tpu.models.scene import SceneBuilder
+from another_raytracer_tpu.ops import camera as camera_lib
+from another_raytracer_tpu.ops.render import render_radiance
+from another_raytracer_tpu.oracle.cpu_reference import Oracle
+
+W, H = 32, 24
+
+
+def compare(scene, cam_params, spp=4, depth=6, seed=3, width=W, height=H,
+            flip_budget=0.01, tol=2e-2):
+    cam = camera_lib.make_camera(aspect_ratio=width / height, **cam_params)
+    dev, _ = render_radiance(
+        scene, cam, jnp.uint32(seed), width=width, height=height, spp=spp,
+        samples_per_pass=min(spp, 4), max_depth=depth, t_min=1e-3,
+    )
+    dev = np.asarray(dev, np.float64) / spp
+    ora = Oracle(scene).render(
+        dict(cam_params, aspect_ratio=width / height),
+        width, height, spp, depth, seed
+    ) / spp
+    diff = np.abs(dev - ora)
+    frac_bad = (diff > tol).mean()
+    assert frac_bad <= flip_budget, (
+        f"{frac_bad:.2%} of values differ > {tol}; mean={diff.mean():.2e} "
+        f"max={diff.max():.2e}"
+    )
+    assert np.median(diff) < 1e-4
+
+
+def simple_materials_scene():
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=5)
+    b.sphere((0, -100.5, -1), 100, b.lambertian(color=(0.8, 0.8, 0.0)))
+    b.sphere((0, 0, -1), 0.5, b.lambertian(color=(0.1, 0.2, 0.5)))
+    b.sphere((1, 0, -1), 0.5, b.metal((0.8, 0.6, 0.2), 0.3))
+    b.sphere((-1, 0, -1), 0.5, b.dielectric(1.5))
+    b.moving_sphere((0, 0.8, -1), (0, 1.0, -1), 0, 1, 0.2, b.lambertian(color=(0.9, 0.2, 0.2)))
+    cam = dict(lookfrom=(0, 0.5, 1.5), lookat=(0, 0, -1), vfov=60.0,
+               aperture=0.1, focus_dist=2.5, time0=0.0, time1=1.0)
+    return b.build(), cam
+
+
+def test_simple_materials():
+    compare(*simple_materials_scene())
+
+
+def test_cornell_box():
+    scene, cam = library.cornell_box()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_cornell_smoke():
+    scene, cam = library.cornell_smoke()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_simple_light_and_perlin():
+    scene, cam = library.simple_light()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_textures_scene():
+    b = SceneBuilder(background=(0.2, 0.2, 0.25), seed=9)
+    checker = b.checker_texture((0.1, 0.9, 0.1), (0.9, 0.1, 0.9))
+    b.sphere((0, -100.5, -1), 100, b.lambertian(texture=checker))
+    # image texture from a tiny procedural image
+    img = np.linspace(0, 1, 8 * 4 * 3).reshape(4, 8, 3)
+    b.sphere((0, 0, -1), 0.5, b.lambertian(texture=b.image_texture(img)))
+    # barycentric color triangle
+    bary = b.barycentric_texture((1, 0, 0), (0, 1, 0), (0, 0, 1))
+    b.triangle((-1.5, 0, -1.5), (1.5, 0, -1.5), (0, 1.5, -1.8), b.lambertian(texture=bary))
+    # textured triangle via per-vertex texcoords
+    tex = b.image_texture(img)
+    b.triangle((-1.5, 0, -0.5), (-0.5, 0, -0.5), (-1, 0.8, -0.7),
+               b.lambertian(texture=tex), uvs=((0, 0), (1, 0), (0.5, 1)))
+    cam = dict(lookfrom=(0, 0.6, 1.5), lookat=(0, 0.2, -1), vfov=55.0)
+    compare(b.build(), cam)
+
+
+def test_instanced_scene():
+    """translate/rotate_y instancing on rects + media boundaries."""
+    b = SceneBuilder(background=(0.6, 0.7, 0.9), seed=11)
+    white = b.lambertian(color=(0.73, 0.73, 0.73))
+    xf = b.transform(rotate_y_deg=30, translate=(0.3, 0, -0.2))
+    b.box((-0.5, 0, -0.5), (0.5, 1, 0.5), white, xform=xf)
+    xf2 = b.transform(rotate_y_deg=-20, translate=(-1.2, 0, 0.2))
+    b.constant_medium_box((-0.4, 0, -0.4), (0.4, 1.2, 0.4), 2.0, color=(0.9, 0.9, 0.2), xform=xf2)
+    b.sphere((0, -100.5, 0), 100, b.lambertian(color=(0.5, 0.5, 0.5)))
+    cam = dict(lookfrom=(0, 1.2, 3), lookat=(0, 0.5, 0), vfov=45.0)
+    compare(b.build(), cam)
