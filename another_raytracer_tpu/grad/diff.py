@@ -55,8 +55,12 @@ def render_loss(params, scene, cam, target, seed, *, width, height, spp,
         spp_cap=spp, samples_per_pass=samples_per_pass, max_depth=max_depth,
         t_min=t_min, differentiable=True,
     )
-    img = acc / spp
-    return jnp.mean((img - target) ** 2)
+    inv = 1.0 / spp
+    return (
+        jnp.mean((acc.x * inv - target[:, 0]) ** 2)
+        + jnp.mean((acc.y * inv - target[:, 1]) ** 2)
+        + jnp.mean((acc.z * inv - target[:, 2]) ** 2)
+    ) / 3.0
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "samples_per_pass",

@@ -1,0 +1,95 @@
+"""Host-side BVH construction over triangle bounds.
+
+The reference builds a binary BVH of shared_ptr nodes with a *random* split
+axis and median sort (bvh.cpp:3-42).  Deliberate divergence (PARITY.md #6):
+the split axis here is the widest centroid extent — deterministic and
+measurably better — with the same median split.  The tree is emitted as flat
+arrays in depth-first order with *escape indices* for stackless traversal on
+device (ops/bvh.py): a node either advances to ``i+1`` (box hit) or jumps to
+``escape[i]`` (box missed / subtree done); leaves reference a contiguous run
+of reordered primitive ids.
+
+Traversal correctness is exhaustively tested against the linear
+intersect-everything path (tests/test_bvh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+LEAF_SIZE = 4
+
+
+@dataclasses.dataclass
+class FlatBVH:
+    node_min: np.ndarray  # [M,3]
+    node_max: np.ndarray  # [M,3]
+    escape: np.ndarray  # [M] int32: next node index when this box is missed
+    leaf_first: np.ndarray  # [M] int32: first index into prim_order (leaves)
+    leaf_count: np.ndarray  # [M] int32: 0 for internal nodes
+    prim_order: np.ndarray  # [N] int32: primitive ids in leaf-contiguous order
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+def build(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+    """Build from per-primitive AABBs ([N,3] mins/maxs, float64)."""
+    n = mins.shape[0]
+    assert n > 0
+    centroids = 0.5 * (mins + maxs)
+
+    nodes_min, nodes_max, escape, leaf_first, leaf_count = [], [], [], [], []
+    prim_order = []
+
+    def emit(ids) -> int:
+        """Emit subtree for primitive ids; returns node index."""
+        idx = len(nodes_min)
+        lo = mins[ids].min(axis=0)
+        hi = maxs[ids].max(axis=0)
+        nodes_min.append(lo)
+        nodes_max.append(hi)
+        escape.append(-1)  # patched after subtree emission
+        if len(ids) <= leaf_size:
+            leaf_first.append(len(prim_order))
+            leaf_count.append(len(ids))
+            prim_order.extend(ids.tolist())
+        else:
+            leaf_first.append(0)
+            leaf_count.append(0)
+            c = centroids[ids]
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            order = np.argsort(c[:, axis], kind="stable")
+            half = len(ids) // 2
+            emit(ids[order[:half]])
+            emit(ids[order[half:]])
+        escape[idx] = len(nodes_min)  # one past the subtree in DFS order
+        return idx
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * int(np.ceil(np.log2(max(n, 2)))) + 10000))
+    try:
+        emit(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    return FlatBVH(
+        node_min=np.asarray(nodes_min),
+        node_max=np.asarray(nodes_max),
+        escape=np.asarray(escape, np.int32),
+        leaf_first=np.asarray(leaf_first, np.int32),
+        leaf_count=np.asarray(leaf_count, np.int32),
+        prim_order=np.asarray(prim_order, np.int32),
+    )
+
+
+def triangle_bounds(v0, v1, v2):
+    """Per-triangle AABBs (triangle.h:90-95)."""
+    mins = np.minimum(np.minimum(v0, v1), v2)
+    maxs = np.maximum(np.maximum(v0, v1), v2)
+    return mins, maxs

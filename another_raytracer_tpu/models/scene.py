@@ -140,11 +140,22 @@ class SceneData:
 
     background: jnp.ndarray  # [3]
 
+    # Flat BVH over triangles (escape-index layout, models/bvh.py); empty
+    # arrays when the scene has no BVH.  Only valid for identity triangle
+    # transforms (the builder enforces this).
+    bvh_node_min: jnp.ndarray  # [M,3]
+    bvh_node_max: jnp.ndarray  # [M,3]
+    bvh_escape: jnp.ndarray  # [M] int32
+    bvh_leaf_first: jnp.ndarray  # [M] int32
+    bvh_leaf_count: jnp.ndarray  # [M] int32
+    bvh_prim_order: jnp.ndarray  # [Nt] int32
+
     # --- static (non-pytree) metadata -------------------------------------
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)
     n_rects: int = flax.struct.field(pytree_node=False, default=0)
     n_triangles: int = flax.struct.field(pytree_node=False, default=0)
     n_media: int = flax.struct.field(pytree_node=False, default=0)
+    n_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def num_primitives(self) -> int:
@@ -345,7 +356,10 @@ class SceneBuilder:
 
     # --- assembly ---------------------------------------------------------
 
-    def build(self, dtype=jnp.float32) -> SceneData:
+    # Build a triangle BVH when the mesh is at least this large ('auto').
+    BVH_AUTO_THRESHOLD = 64
+
+    def build(self, dtype=jnp.float32, bvh="auto") -> SceneData:
         f = lambda x, shape: (  # noqa: E731
             jnp.asarray(np.asarray(x, np.float64).reshape(shape), dtype)
         )
@@ -391,6 +405,36 @@ class SceneBuilder:
         rots = np.stack([x[0] for x in self._xforms])
         trans = np.stack([x[1] for x in self._xforms])
 
+        # Triangle BVH (host build, models/bvh.py).  Requires identity
+        # triangle transforms — true for all mesh scenes; instanced triangle
+        # sets fall back to the linear path.
+        want_bvh = (bvh is True) or (bvh == "auto" and nt >= self.BVH_AUTO_THRESHOLD)
+        tri_xf_all_identity = nt == 0 or all(int(x[7]) == 0 for x in self._tris)
+        if want_bvh and nt > 0 and tri_xf_all_identity:
+            from another_raytracer_tpu.models import bvh as bvh_lib
+
+            v0 = np.stack(tri[0]).reshape(nt, 3)
+            v1 = np.stack(tri[1]).reshape(nt, 3)
+            v2 = np.stack(tri[2]).reshape(nt, 3)
+            tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2))
+            bvh_arrays = dict(
+                bvh_node_min=f(tree.node_min, tree.node_min.shape),
+                bvh_node_max=f(tree.node_max, tree.node_max.shape),
+                bvh_escape=jnp.asarray(tree.escape),
+                bvh_leaf_first=jnp.asarray(tree.leaf_first),
+                bvh_leaf_count=jnp.asarray(tree.leaf_count),
+                bvh_prim_order=jnp.asarray(tree.prim_order),
+            )
+            n_bvh = tree.num_nodes
+        else:
+            z3 = jnp.zeros((0, 3), dtype)
+            zi = jnp.zeros((0,), jnp.int32)
+            bvh_arrays = dict(
+                bvh_node_min=z3, bvh_node_max=z3, bvh_escape=zi,
+                bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
+            )
+            n_bvh = 0
+
         return SceneData(
             sph_c0=f(sph[0], (ns, 3)), sph_c1=f(sph[1], (ns, 3)),
             sph_t0=f(sph[2], (ns,)), sph_t1=f(sph[3], (ns,)),
@@ -419,5 +463,7 @@ class SceneBuilder:
             per_ranvec=f(ranvec, ranvec.shape),
             per_perm=jnp.asarray(perm, jnp.int32),
             background=f(self.background, (3,)),
+            **bvh_arrays,
             n_spheres=ns, n_rects=nr, n_triangles=nt, n_media=nm,
+            n_bvh_nodes=n_bvh,
         )

@@ -143,7 +143,8 @@ def render_adaptive(scene, cam, config: RenderConfig):
             samples_per_pass=config.samples_per_pass,
             max_depth=config.max_depth, t_min=config.t_min,
         )
-        acc = np.asarray(acc)[: len(flat)]
+        from another_raytracer_tpu.ops import vec3
+        acc = vec3.to_numpy(acc)[: len(flat)]
         total_segments += int(segs)  # padding overcount is bounded by bucket
         work[flat // W, flat % W] = _to_int_color(acc, spp)
 

@@ -20,7 +20,8 @@ import math
 import flax.struct
 import jax.numpy as jnp
 
-from another_raytracer_tpu.ops import rng, vecmath
+from another_raytracer_tpu.ops import rng, vec3, vecmath
+from another_raytracer_tpu.ops.vec3 import V3
 
 
 @flax.struct.dataclass
@@ -95,7 +96,7 @@ def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, s
       seed: RNG seed (python int or uint32 scalar).
 
     Returns:
-      (origins [B,3], directions [B,3], times [B]).
+      (origins V3[B], directions V3[B], times [B]) — column SoA (vec3.py).
 
     Matches ``engine::_stochastic_sample`` pixel->uv mapping (engine.h:58-68)
     and ``camera::get_ray`` (camera.h:38-47).
@@ -113,16 +114,18 @@ def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, s
     s = (i + ju) / jnp.float32(width - 1)
     t = (jnp.float32(height - 1) - j + jv) / jnp.float32(height - 1)
 
-    rd = cam.lens_radius * vecmath.in_unit_disk_from_uniforms(lu, lv)
-    offset = rd[..., 0:1] * cam.u + rd[..., 1:2] * cam.v
+    rdx, rdy = vec3.in_unit_disk_from_uniforms(lu, lv)
+    rdx = cam.lens_radius * rdx
+    rdy = cam.lens_radius * rdy
+    cu = V3.from_array(cam.u)  # scalar components
+    cv = V3.from_array(cam.v)
+    offset = cu * rdx + cv * rdy
 
-    origin = cam.origin + offset
-    direction = (
-        cam.lower_left
-        + s[..., None] * cam.horizontal
-        + t[..., None] * cam.vertical
-        - cam.origin
-        - offset
-    )
+    cam_origin = V3.from_array(cam.origin)
+    origin = offset + cam_origin
+    base = V3.from_array(cam.lower_left - cam.origin)
+    hor = V3.from_array(cam.horizontal)
+    ver = V3.from_array(cam.vertical)
+    direction = base + hor * s + ver * t - offset
     time = cam.time0 + tu * (cam.time1 - cam.time0)
     return origin, direction, time

@@ -1,4 +1,4 @@
-"""Iterative wavefront path integrator.
+"""Iterative wavefront path integrator (column-SoA state).
 
 The reference integrator is the recursive ``_ray_color`` (engine.h:447-466):
   1. depth exhausted -> black;
@@ -9,29 +9,32 @@ The reference integrator is the recursive ``_ray_color`` (engine.h:447-466):
 
 Recursion is untraceable on TPU; here the same contract is an iterative loop
 carrying (origin, direction, time, throughput, radiance, alive) for a whole
-ray batch in lockstep, with termination as masks.  Radiance algebra:
-unrolling the recursion, a path contributes
-``sum_k (prod_{j<k} attenuation_j) * emitted_k`` plus background weighted by
-the throughput at the miss bounce — exactly what the masked accumulation
-below computes.  No russian roulette and no light sampling, matching the
-reference (SURVEY §2.2).
+ray batch in lockstep, with termination as masks.  Unrolling the recursion,
+a path contributes ``sum_k (prod_{j<k} attenuation_j) * emitted_k`` plus
+background weighted by the throughput at the miss bounce — exactly what the
+masked accumulation computes.  No russian roulette and no light sampling,
+matching the reference (SURVEY §2.2).
+
+Every vector in the carry is a ``V3`` of [B] arrays — [B,3] arrays would pad
+3->128 lanes in TPU loop-carry/residual buffers (see ops/vec3.py).
 
 Two loop flavors:
   * ``lax.while_loop`` with an any-alive early exit for forward rendering
     (most rays die in a few bounces; the reference's max_depth=50 would cost
     50 full passes in a fixed scan);
   * ``lax.scan`` when differentiability is required (while_loop has no
-    reverse-mode rule).
+    reverse-mode rule).  The closest-hit winner search runs entirely behind
+    ``stop_gradient`` — backward only differentiates the [B]-sized winner
+    recompute, so scan residuals stay small.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from another_raytracer_tpu.ops import intersect, rng, shade
+from another_raytracer_tpu.ops import intersect, rng, shade, vec3
+from another_raytracer_tpu.ops.vec3 import V3
 
 
 def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
@@ -52,55 +55,55 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min):
     o, d, time, throughput, radiance, alive, segments = carry
 
     u_media = _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed)
-    t, kind, idx = intersect.closest_hit(scene, o, d, time, u_media, t_min)
+    # Winner selection is a detached discrete decision: run the whole
+    # [B, N] sweep (and any BVH traversal) outside the differentiation path —
+    # backward only sees the per-ray winner recompute in make_hit_record,
+    # which re-derives t differentiably from primitive parameters.
+    sg = jax.lax.stop_gradient
+    t, kind, idx = intersect.closest_hit(
+        sg(scene), sg(o), sg(d), sg(time), u_media, t_min
+    )
     hit = kind >= 0
 
     # Miss -> background * throughput, then die (engine.h:455-457).
     miss_now = alive & ~hit
-    radiance = radiance + jnp.where(miss_now[:, None], throughput * scene.background, 0.0)
+    bg = V3.from_array(scene.background)
+    radiance = radiance + vec3.where(
+        miss_now, throughput * bg, V3.zeros(miss_now.shape)
+    )
 
-    rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx)
+    rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media)
 
     # Emission accumulates for every live hit (engine.h:460-465).
     emit = shade.emitted(scene, rec)
     live_hit = alive & hit
-    radiance = radiance + jnp.where(live_hit[:, None], throughput * emit, 0.0)
+    radiance = radiance + vec3.where(live_hit, throughput * emit, V3.zeros(miss_now.shape))
 
     new_dir, attenuation, scatter_ok = shade.scatter(
         scene, rec, d, pixel_ids, sample_ids, bounce, seed
     )
     alive = live_hit & scatter_ok
-    throughput = jnp.where(alive[:, None], throughput * attenuation, throughput)
-    o = jnp.where(alive[:, None], rec.p, o)
-    d = jnp.where(alive[:, None], new_dir, d)
+    throughput = vec3.where(alive, throughput * attenuation, throughput)
+    o = vec3.where(alive, rec.p, o)
+    d = vec3.where(alive, new_dir, d)
     segments = segments + jnp.sum(alive.astype(jnp.int32))
     return (o, d, time, throughput, radiance, alive, segments)
 
 
-def trace(scene, o, d, time, pixel_ids, sample_ids, seed, max_depth: int,
+def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int,
           t_min: float, differentiable: bool = False):
     """Trace a ray batch to completion.
 
-    Args:
-      scene: SceneData.
-      o, d: [B,3] primary ray origins/directions.
-      time: [B] ray times.
-      pixel_ids, sample_ids: uint32 [B] RNG coordinates.
-      seed: RNG seed.
-      max_depth: bounce budget (reference default 50, tracer_constants.h:13).
-      t_min: shadow-acne epsilon (1e-3, engine.h:455).
-      differentiable: use a scan (reverse-mode differentiable) instead of a
-        while_loop with early exit.
-
-    Returns:
-      (radiance [B,3], segments [] int32 — total alive ray segments summed
-       over bounces, the honest bounce-ray count for rays/s metrics).
+    Returns (radiance V3 of [B], segments [] int32 — total alive ray
+    segments summed over bounces, the honest bounce-ray count for rays/s
+    metrics).
     """
-    B = o.shape[0]
+    B = o.x.shape[0]
+    ones = jnp.ones((B,), o.x.dtype)
     carry = (
         o, d, time,
-        jnp.ones((B, 3), o.dtype),
-        jnp.zeros((B, 3), o.dtype),
+        V3(ones, ones, ones),
+        V3.zeros((B,), o.x.dtype),
         jnp.ones((B,), bool),
         jnp.asarray(B, jnp.int32),  # primary segments are all alive
     )

@@ -1,16 +1,22 @@
-"""Vectorized closest-hit over the flat SoA scene.
+"""Vectorized closest-hit over the flat SoA scene (column layout).
 
 The reference's hot path is virtual dispatch through ``hittable::hit``
 recursion (hittable_list.cpp:5-19 + bvh.cpp:44-52).  TPU-native design:
 every primitive kind is intersected for a whole ray batch at once as fused
 broadcast arithmetic ([B, N] lanes feeding a min-reduction), chunked over
-primitives with ``lax.scan`` so intermediates stay fusion-sized.  The winner
+primitives with static slices so XLA sees fixed shapes.  The winner
 (t, kind, index) per ray is found first with cheap arithmetic only; the full
 hit record (point, normal, UV, material) is then *recomputed only for the
 winning primitive* per ray — a [B]-sized gather instead of a [B, N] payload.
+The recompute is differentiable (the winner choice is a detached discrete
+decision), so gradients flow to geometry parameters through the hit point.
 
-Instancing: primitives carry a transform id; rays are moved into object space
-with the gathered inverse transform — the vectorized form of
+All per-ray state is column-SoA (``ops.vec3.V3`` — three [B] arrays): an
+``f32[B, 3]`` array would pad its minor dim 3->128 in TPU tiled layout, a
+42.7x expansion wherever XLA materializes it.
+
+Instancing: primitives carry a transform id; rays are moved into object
+space with the gathered inverse transform — the vectorized form of
 ``rotate_y::hit``/``translate::hit`` (reference: src/engine/hittable.cpp).
 
 Behavioral contracts preserved (with reference locations):
@@ -22,35 +28,37 @@ Behavioral contracts preserved (with reference locations):
   * triangle: scratchapixel geometric test with area-ratio barycentrics
     (triangle.h:22-87).  DIVERGENCE: the reference leaves the triangle normal
     unnormalized in hit_record (the raw cross product), which skews its
-    lambertian lobes by triangle area; we normalize, which is the physically
-    intended behavior.  Documented in PARITY.md;
+    lambertian lobes by triangle area; we normalize (PARITY.md #3);
   * constant medium: boundary entry/exit interval then exponential free-flight
     sampling (constant_medium.h:42-80), with the analytic two-root interval
     replacing the double hittable::hit probe.
+
+All guarded divisions/sqrts use where-style masking so discarded lanes can
+never NaN-poison reverse-mode cotangents (0 * inf = NaN).
 """
 
 from __future__ import annotations
 
-import flax.struct
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from another_raytracer_tpu.models import scene as scene_lib
-from another_raytracer_tpu.ops import vecmath
+from another_raytracer_tpu.ops import vec3
+from another_raytracer_tpu.ops.vec3 import V3
 
 BIG = jnp.float32(3e37)  # effectively +infinity for t comparisons
 MEDIUM_REHIT_EPS = 1e-4  # reference: constant_medium.h:47 second-probe offset
 
-# Primitive chunk size for the lax.scan over large primitive arrays.  Each
-# chunk produces [B, CHUNK] fused intermediates.
+# Primitive chunk size for the scan over large primitive arrays.
 PRIM_CHUNK = 512
 
 
-@flax.struct.dataclass
-class HitRecord:
+class HitRecord(NamedTuple):
     t: jnp.ndarray  # [B]
-    p: jnp.ndarray  # [B,3] world-space hit point
-    normal: jnp.ndarray  # [B,3] unit, faced toward the incoming ray
+    p: V3  # world-space hit point
+    normal: V3  # unit, faced toward the incoming ray
     front_face: jnp.ndarray  # [B] bool
     mat: jnp.ndarray  # [B] int32 material id
     u: jnp.ndarray  # [B] raw surface parameter (barycentric u for triangles)
@@ -59,21 +67,29 @@ class HitRecord:
     tv: jnp.ndarray  # [B]
 
 
-def _gather_xf(scene, xf_ids):
-    """Gather world-from-object transforms; returns (rot [N,3,3], trans [N,3])."""
-    return scene.xf_rot[xf_ids], scene.xf_trans[xf_ids]
+def _col3(arr2d, idx=None):
+    """[N,3] table -> V3 of [N] columns (or gathered [B] columns by idx)."""
+    if idx is None:
+        return V3(arr2d[:, 0], arr2d[:, 1], arr2d[:, 2])
+    return V3(arr2d[:, 0][idx], arr2d[:, 1][idx], arr2d[:, 2][idx])
 
 
-def _to_object(o, d, rot, trans):
-    """Move world rays into per-primitive object space.
+def _rows(rot):
+    """[N,3,3] rotations -> 3 V3 rows of [N] components (world-from-object)."""
+    return (
+        V3(rot[:, 0, 0], rot[:, 0, 1], rot[:, 0, 2]),
+        V3(rot[:, 1, 0], rot[:, 1, 1], rot[:, 1, 2]),
+        V3(rot[:, 2, 0], rot[:, 2, 1], rot[:, 2, 2]),
+    )
 
-    o,d: [B,3]; rot: [N,3,3] world-from-object; trans: [N,3].
-    Returns o_obj, d_obj of shape [B,N,3]:  o' = R^T (o - t), d' = R^T d.
-    """
-    oc = o[:, None, :] - trans[None, :, :]
-    o_obj = jnp.einsum("nji,bnj->bni", rot, oc)
-    d_obj = jnp.einsum("nji,bj->bni", rot, d)
-    return o_obj, d_obj
+
+def _cols(rot):
+    """[N,3,3] rotations -> rows of R^T (object-from-world)."""
+    return (
+        V3(rot[:, 0, 0], rot[:, 1, 0], rot[:, 2, 0]),
+        V3(rot[:, 0, 1], rot[:, 1, 1], rot[:, 2, 1]),
+        V3(rot[:, 0, 2], rot[:, 1, 2], rot[:, 2, 2]),
+    )
 
 
 def _identity_xf(scene: scene_lib.SceneData) -> bool:
@@ -81,33 +97,68 @@ def _identity_xf(scene: scene_lib.SceneData) -> bool:
     return scene.xf_rot.shape[0] == 1
 
 
+def _bcast(v: V3) -> V3:
+    """[B] components -> [B,1] for broadcasting against [N] primitives."""
+    return V3(v.x[:, None], v.y[:, None], v.z[:, None])
+
+
+def _ray_to_object_bn(scene, xf_ids, o: V3, d: V3):
+    """World rays [B] against primitives' transforms [N] -> object rays with
+    [B, N] components: o' = R^T (o - tr), d' = R^T d."""
+    rot = scene.xf_rot[xf_ids]
+    tr = _col3(scene.xf_trans, xf_ids)
+    rt = _cols(rot)  # rows of R^T, [N] components
+    oc = V3(o.x[:, None] - tr.x[None, :], o.y[:, None] - tr.y[None, :], o.z[:, None] - tr.z[None, :])
+    rtx, rty, rtz = (V3(r.x[None, :], r.y[None, :], r.z[None, :]) for r in rt)
+    o_b = V3(vec3.dot(rtx, oc), vec3.dot(rty, oc), vec3.dot(rtz, oc))
+    db = _bcast(d)
+    d_b = V3(vec3.dot(rtx, db), vec3.dot(rty, db), vec3.dot(rtz, db))
+    return o_b, d_b
+
+
+def _ray_to_object_gathered(scene, xf_ids, o: V3, d: V3):
+    """Per-ray gathered transforms ([B]): returns (o_obj, d_obj, rows of R)
+    where rows are for object->world (normal/point transforms)."""
+    rot = scene.xf_rot[xf_ids]  # [B,3,3]
+    tr = _col3(scene.xf_trans, xf_ids)
+    rows = _rows(rot)
+    cols = _cols(rot)
+    oc = o - tr
+    o_b = V3(vec3.dot(cols[0], oc), vec3.dot(cols[1], oc), vec3.dot(cols[2], oc))
+    d_b = V3(vec3.dot(cols[0], d), vec3.dot(cols[1], d), vec3.dot(cols[2], d))
+    return o_b, d_b, rows, tr
+
+
 # --------------------------------------------------------------------------
 # Per-kind t computation.  Each returns (t [B, N], valid [B, N]).
 # --------------------------------------------------------------------------
 
 
-def _sphere_t(scene, sl, o, d, time, t_min, t_max):
+def _sphere_t(scene, sl, o: V3, d: V3, time, t_min, t_max):
     """Quadratic sphere test against time-lerped centers (sphere.h:39-65,
-    moving_sphere.h:29-58).  ``sl`` slices the sphere arrays (chunking)."""
-    c0 = scene.sph_c0[sl]
-    c1 = scene.sph_c1[sl]
+    moving_sphere.h:29-58)."""
+    c0 = _col3(scene.sph_c0[sl])
+    c1 = _col3(scene.sph_c1[sl])
     t0 = scene.sph_t0[sl]
     t1 = scene.sph_t1[sl]
     r = scene.sph_r[sl]
     if not _identity_xf(scene):
-        rot, trans = _gather_xf(scene, scene.sph_xf[sl])
-        o_b, d_b = _to_object(o, d, rot, trans)  # [B,N,3]
+        o_b, d_b = _ray_to_object_bn(scene, scene.sph_xf[sl], o, d)
     else:
-        o_b, d_b = o[:, None, :], d[:, None, :]
+        o_b, d_b = _bcast(o), _bcast(d)
 
     # center(time): static spheres have c1 == c0 so the lerp is inert.
     frac = (time[:, None] - t0[None, :]) / (t1 - t0)[None, :]
-    center = c0[None, :, :] + frac[..., None] * (c1 - c0)[None, :, :]
-
-    oc = o_b - center  # [B,N,3]
-    a = jnp.sum(d_b * d_b, axis=-1)  # [B,N] (or [B,1] when no xform)
-    half_b = jnp.sum(oc * d_b, axis=-1)
-    c = jnp.sum(oc * oc, axis=-1) - (r * r)[None, :]
+    cdel = c1 - c0
+    center = V3(
+        c0.x[None, :] + frac * cdel.x[None, :],
+        c0.y[None, :] + frac * cdel.y[None, :],
+        c0.z[None, :] + frac * cdel.z[None, :],
+    )
+    oc = o_b - center
+    a = vec3.length_squared(d_b)
+    half_b = vec3.dot(oc, d_b)
+    c = vec3.length_squared(oc) - (r * r)[None, :]
     disc = half_b * half_b - a * c
     hit_disc = disc > 0.0
     # where-guard before sqrt: lanes with disc <= 0 are discarded by `valid`,
@@ -121,33 +172,34 @@ def _sphere_t(scene, sl, o, d, time, t_min, t_max):
     return root, valid
 
 
-def _rect_t(scene, sl, o, d, t_min, t_max):
+def _axis_component(v: V3, axis):
+    """Select per-primitive axis component: axis [N] in {0,1,2}; v has [B,N]
+    or [N] components.  Uses two selects (cheaper than one-hot dot on VPU)."""
+    return jnp.where(axis == 0, v.x, jnp.where(axis == 1, v.y, v.z))
+
+
+def _rect_t(scene, sl, o: V3, d: V3, t_min, t_max):
     """Axis-rect plane solve + inclusive bound check (aarect.cpp)."""
     axis = scene.rect_axis[sl]  # [N]
     k = scene.rect_k[sl]
     lo = scene.rect_lo[sl]  # [N,2]
     hi = scene.rect_hi[sl]
     if not _identity_xf(scene):
-        rot, trans = _gather_xf(scene, scene.rect_xf[sl])
-        o_b, d_b = _to_object(o, d, rot, trans)  # [B,N,3]
+        o_b, d_b = _ray_to_object_bn(scene, scene.rect_xf[sl], o, d)
     else:
-        o_b, d_b = o[:, None, :], d[:, None, :]
+        o_b, d_b = _bcast(o), _bcast(d)
 
-    onehot = jax.nn.one_hot(axis, 3, dtype=o.dtype)  # [N,3]
-    o_ax = jnp.sum(o_b * onehot[None], axis=-1)  # [B,N]
-    d_ax = jnp.sum(d_b * onehot[None], axis=-1)
+    ax = axis[None, :]
+    o_ax = _axis_component(o_b, ax)
+    d_ax = _axis_component(d_b, ax)
     parallel = d_ax == 0.0
-    # Parallel lanes are invalid; guard the divide so its infinite forward
-    # value can't NaN reverse-mode cotangents (0 * inf).
     t = jnp.where(parallel, BIG, (k[None, :] - o_ax) / jnp.where(parallel, 1.0, d_ax))
 
     # free axes in ascending order: axis 0 -> (1,2), 1 -> (0,2), 2 -> (0,1)
-    au = jnp.where(axis == 0, 1, 0)
-    av = jnp.where(axis == 2, 1, 2)
-    oh_u = jax.nn.one_hot(au, 3, dtype=o.dtype)
-    oh_v = jax.nn.one_hot(av, 3, dtype=o.dtype)
-    pu = jnp.sum(o_b * oh_u[None], -1) + t * jnp.sum(d_b * oh_u[None], -1)
-    pv = jnp.sum(o_b * oh_v[None], -1) + t * jnp.sum(d_b * oh_v[None], -1)
+    au = jnp.where(ax == 0, 1, 0)
+    av = jnp.where(ax == 2, 1, 2)
+    pu = _axis_component(o_b, au) + t * _axis_component(d_b, au)
+    pv = _axis_component(o_b, av) + t * _axis_component(d_b, av)
 
     inside = (pu >= lo[None, :, 0]) & (pu <= hi[None, :, 0]) & \
              (pv >= lo[None, :, 1]) & (pv <= hi[None, :, 1])
@@ -155,31 +207,35 @@ def _rect_t(scene, sl, o, d, t_min, t_max):
     return t, valid
 
 
-def _triangle_t(scene, sl, o, d, t_min, t_max):
+def _triangle_t(scene, sl, o: V3, d: V3, t_min, t_max):
     """Scratchapixel-style plane + edge half-plane test (triangle.h:22-87).
     Returns t only; barycentrics are recomputed for the winner."""
-    v0 = scene.tri_v0[sl]
-    v1 = scene.tri_v1[sl]
-    v2 = scene.tri_v2[sl]
+    v0 = _col3(scene.tri_v0[sl])
+    v1 = _col3(scene.tri_v1[sl])
+    v2 = _col3(scene.tri_v2[sl])
     if not _identity_xf(scene):
-        rot, trans = _gather_xf(scene, scene.tri_xf[sl])
-        o_b, d_b = _to_object(o, d, rot, trans)
+        o_b, d_b = _ray_to_object_bn(scene, scene.tri_xf[sl], o, d)
     else:
-        o_b, d_b = o[:, None, :], d[:, None, :]
+        o_b, d_b = _bcast(o), _bcast(d)
 
-    n = jnp.cross(v1 - v0, v2 - v0)  # [N,3] unnormalized plane normal
-    ndotd = jnp.sum(n[None] * d_b, axis=-1)  # [B,N]
-    ndoto = jnp.sum(n[None] * o_b, axis=-1)
+    n = vec3.cross(v1 - v0, v2 - v0)  # [N] components
+    n_row = V3(n.x[None, :], n.y[None, :], n.z[None, :])
+    ndotd = vec3.dot(n_row, d_b)
+    ndoto = vec3.dot(n_row, o_b)
     parallel = ndotd == 0.0
     t = jnp.where(
         parallel, BIG,
-        (jnp.sum(n * v0, -1)[None] - ndoto) / jnp.where(parallel, 1.0, ndotd),
+        (vec3.dot(n, v0)[None, :] - ndoto) / jnp.where(parallel, 1.0, ndotd),
     )
 
-    p = o_b + t[..., None] * d_b  # [B,N,3]
-    w0 = jnp.sum(n[None] * jnp.cross(v1 - v0, p - v0[None]), -1)
-    w1 = jnp.sum(n[None] * jnp.cross(v2 - v1, p - v1[None]), -1)
-    w2 = jnp.sum(n[None] * jnp.cross(v0 - v2, p - v2[None]), -1)
+    p = o_b + d_b * t
+    row = lambda v: V3(v.x[None, :], v.y[None, :], v.z[None, :])  # noqa: E731
+    e0 = row(v1 - v0)
+    e1 = row(v2 - v1)
+    e2 = row(v0 - v2)
+    w0 = vec3.dot(n_row, vec3.cross(e0, p - row(v0)))
+    w1 = vec3.dot(n_row, vec3.cross(e1, p - row(v1)))
+    w2 = vec3.dot(n_row, vec3.cross(e2, p - row(v2)))
 
     valid = (
         (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
@@ -188,45 +244,46 @@ def _triangle_t(scene, sl, o, d, t_min, t_max):
     return t, valid
 
 
-def _medium_interval(scene, o, d):
-    """Boundary entry/exit interval (t1, t2, boundary_hit) for all media.
-
-    Analytic equivalent of the reference's two hittable::hit probes over
-    (-inf, inf) then (t1+1e-4, inf) (constant_medium.h:42-47).
-    """
+def _medium_interval(scene, o: V3, d: V3):
+    """Boundary entry/exit interval (t1, t2, boundary_hit) for all media,
+    components [B, Nm].  Analytic equivalent of the reference's two
+    hittable::hit probes (constant_medium.h:42-47)."""
     kind = scene.med_kind  # [Nm]
-    a3 = scene.med_a
-    b3 = scene.med_b
+    a3 = _col3(scene.med_a)
+    b3 = _col3(scene.med_b)
     if not _identity_xf(scene):
-        rot, trans = _gather_xf(scene, scene.med_xf)
-        o_b, d_b = _to_object(o, d, rot, trans)  # [B,Nm,3]
+        o_b, d_b = _ray_to_object_bn(scene, scene.med_xf, o, d)
     else:
-        o_b = jnp.broadcast_to(o[:, None, :], (o.shape[0], kind.shape[0], 3))
-        d_b = jnp.broadcast_to(d[:, None, :], (o.shape[0], kind.shape[0], 3))
+        o_b, d_b = _bcast(o), _bcast(d)
 
     # Sphere boundary: both quadratic roots.
-    oc = o_b - a3[None]
-    qa = jnp.sum(d_b * d_b, -1)
-    half_b = jnp.sum(oc * d_b, -1)
-    qc = jnp.sum(oc * oc, -1) - (b3[:, 0] * b3[:, 0])[None]
+    oc = V3(o_b.x - a3.x[None, :], o_b.y - a3.y[None, :], o_b.z - a3.z[None, :])
+    qa = vec3.length_squared(d_b)
+    half_b = vec3.dot(oc, d_b)
+    qc = vec3.length_squared(oc) - (b3.x * b3.x)[None, :]
     disc = half_b * half_b - qa * qc
     s_ok = disc > 0.0
-    sq = jnp.sqrt(jnp.where(s_ok, disc, 1.0))  # grad-safe (see _sphere_t)
+    sq = jnp.sqrt(jnp.where(s_ok, disc, 1.0))  # grad-safe
     s_t1 = (-half_b - sq) / qa
     s_t2 = (-half_b + sq) / qa
 
-    # Box boundary: slab interval.  Signed-epsilon guard keeps the divide
-    # finite (axis-parallel rays get huge-but-finite slab extents) so
-    # reverse-mode cotangents stay NaN-free.
-    d_safe = jnp.where(jnp.abs(d_b) < 1e-20, jnp.where(d_b < 0, -1e-20, 1e-20), d_b)
-    inv_d = 1.0 / d_safe
-    tA = (a3[None] - o_b) * inv_d
-    tB = (b3[None] - o_b) * inv_d
-    b_t1 = jnp.max(jnp.minimum(tA, tB), axis=-1)
-    b_t2 = jnp.min(jnp.maximum(tA, tB), axis=-1)
+    # Box boundary: slab interval.  Signed-epsilon divide guard keeps lanes
+    # and reverse-mode cotangents finite for axis-parallel rays.
+    def slab(dc, oc_, lo, hi):
+        d_safe = jnp.where(jnp.abs(dc) < 1e-20, jnp.where(dc < 0, -1e-20, 1e-20), dc)
+        inv = 1.0 / d_safe
+        tA = (lo[None, :] - oc_) * inv
+        tB = (hi[None, :] - oc_) * inv
+        return jnp.minimum(tA, tB), jnp.maximum(tA, tB)
+
+    nx, xx = slab(d_b.x, o_b.x, a3.x, b3.x)
+    ny, xy = slab(d_b.y, o_b.y, a3.y, b3.y)
+    nz, xz = slab(d_b.z, o_b.z, a3.z, b3.z)
+    b_t1 = jnp.maximum(jnp.maximum(nx, ny), nz)
+    b_t2 = jnp.minimum(jnp.minimum(xx, xy), xz)
     b_ok = b_t1 < b_t2
 
-    is_sphere = (kind == scene_lib.MED_SPHERE)[None]
+    is_sphere = (kind == scene_lib.MED_SPHERE)[None, :]
     t1 = jnp.where(is_sphere, s_t1, b_t1)
     t2 = jnp.where(is_sphere, s_t2, b_t2)
     ok = jnp.where(is_sphere, s_ok, b_ok)
@@ -236,21 +293,19 @@ def _medium_interval(scene, o, d):
     return t1, t2, ok
 
 
-def _medium_t(scene, o, d, u_media, t_min, t_max):
+def _medium_t(scene, o: V3, d: V3, u_media, t_min, t_max):
     """Exponential free-flight sample inside boundary (constant_medium.h:49-80).
-
-    u_media: [B, Nm] uniforms in [0,1), one lane per medium per bounce.
-    """
+    u_media: [B, Nm] uniforms."""
     t1, t2, ok = _medium_interval(scene, o, d)
     r1 = jnp.maximum(t1, t_min)
     r2 = jnp.minimum(t2, t_max)
     ok = ok & (r1 < r2)
     r1 = jnp.maximum(r1, 0.0)
-    ray_len = vecmath.length(d)[:, None]
+    ray_len = vec3.length(d)[:, None]
     dist_inside = (r2 - r1) * ray_len
-    # log(0) = -inf -> hit_dist = +inf -> rejected, matching the reference's
-    # behavior when random_double() returns 0.
-    hit_dist = scene.med_neg_inv_density[None] * jnp.log(u_media)
+    # log(0) = -inf -> hit_dist = +inf -> rejected, matching the reference
+    # when random_double() returns 0.
+    hit_dist = scene.med_neg_inv_density[None, :] * jnp.log(u_media)
     ok = ok & (hit_dist <= dist_inside)
     t = r1 + hit_dist / ray_len
     return t, ok
@@ -276,11 +331,7 @@ def _fold_kind(best, t, valid, kind, base_idx):
 
 
 def _scan_kind(best, n_total, chunk_fn, kind):
-    """Fold a whole primitive kind, chunked when large.
-
-    chunk_fn(sl) -> (t [B, n], valid [B, n]) for a python slice sl.
-    Chunk boundaries are static so XLA sees fixed shapes.
-    """
+    """Fold a whole primitive kind, chunked when large (static slices)."""
     for start in range(0, n_total, PRIM_CHUNK):
         sl = slice(start, min(start + PRIM_CHUNK, n_total))
         t, valid = chunk_fn(sl)
@@ -288,23 +339,14 @@ def _scan_kind(best, n_total, chunk_fn, kind):
     return best
 
 
-def closest_hit(scene, o, d, time, u_media, t_min):
+def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
     """Closest intersection over all primitive kinds.
 
-    Args:
-      scene: SceneData.
-      o, d: [B,3] ray origin/direction (world).
-      time: [B] ray times.
-      u_media: [B, Nm] uniforms for media free-flight sampling (ignored when
-        the scene has no media).
-      t_min: scalar minimum t (shadow-acne epsilon, engine.h:455).
-
-    Returns:
-      (t [B], kind [B] int32 with -1 = miss, idx [B] int32 index within kind).
+    Returns (t [B], kind [B] int32 with -1 = miss, idx [B] within-kind).
     """
-    B = o.shape[0]
+    B = o.x.shape[0]
     best = (
-        jnp.full((B,), BIG, o.dtype),
+        jnp.full((B,), BIG, o.x.dtype),
         jnp.full((B,), -1, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
@@ -321,11 +363,18 @@ def closest_hit(scene, o, d, time, u_media, t_min):
             scene_lib.PRIM_RECT,
         )
     if scene.n_triangles:
-        best = _scan_kind(
-            best, scene.n_triangles,
-            lambda sl: _triangle_t(scene, sl, o, d, t_min, best[0][:, None]),
-            scene_lib.PRIM_TRIANGLE,
-        )
+        if scene.n_bvh_nodes:
+            from another_raytracer_tpu.ops import bvh as bvh_ops
+
+            bt, bk, bi = best
+            t, idx, improved = bvh_ops.traverse_triangles(scene, o, d, t_min, bt, bi)
+            best = (t, jnp.where(improved, scene_lib.PRIM_TRIANGLE, bk), idx)
+        else:
+            best = _scan_kind(
+                best, scene.n_triangles,
+                lambda sl: _triangle_t(scene, sl, o, d, t_min, best[0][:, None]),
+                scene_lib.PRIM_TRIANGLE,
+            )
     if scene.n_media:
         t, valid = _medium_t(scene, o, d, u_media, t_min, best[0][:, None])
         best = _fold_kind(best, t, valid, scene_lib.PRIM_MEDIUM, jnp.int32(0))
@@ -333,53 +382,50 @@ def closest_hit(scene, o, d, time, u_media, t_min):
 
 
 # --------------------------------------------------------------------------
-# Winner hit-record reconstruction
+# Winner hit-record reconstruction (all [B]-sized, differentiable)
 # --------------------------------------------------------------------------
-
-
-def _xf_point_to_world(rot, trans, p):
-    return jnp.einsum("bij,bj->bi", rot, p) + trans
-
-
-def _xf_vec_to_world(rot, v):
-    return jnp.einsum("bij,bj->bi", rot, v)
-
-
-def _xf_ray_to_object(rot, trans, o, d):
-    oc = o - trans
-    o_obj = jnp.einsum("bji,bj->bi", rot, oc)
-    d_obj = jnp.einsum("bji,bj->bi", rot, d)
-    return o_obj, d_obj
 
 
 def _sphere_record(scene, o, d, time, t, idx):
     ii = jnp.clip(idx, 0, scene.n_spheres - 1)
-    c0 = scene.sph_c0[ii]
-    c1 = scene.sph_c1[ii]
+    c0 = _col3(scene.sph_c0, ii)
+    c1 = _col3(scene.sph_c1, ii)
     t0 = scene.sph_t0[ii]
     t1 = scene.sph_t1[ii]
     r = scene.sph_r[ii]
     has_uv = scene.sph_has_uv[ii]
-    rot, trans = _gather_xf(scene, scene.sph_xf[ii])
-    o_b, d_b = _xf_ray_to_object(rot, trans, o, d)
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.sph_xf[ii], o, d)
     frac = (time - t0) / (t1 - t0)
-    center = c0 + frac[:, None] * (c1 - c0)
-    p_obj = o_b + t[:, None] * d_b
+    center = c0 + (c1 - c0) * frac
+    # Differentiable t recompute: the winner index (and which quadratic root
+    # it was) is a detached discrete decision; the root value itself is a
+    # smooth function of sphere parameters, so gradients w.r.t. centers and
+    # radii flow through the hit point.
+    oc = o_b - center
+    a = vec3.length_squared(d_b)
+    half_b = vec3.dot(oc, d_b)
+    c = vec3.length_squared(oc) - r * r
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+    root1 = (-half_b - sq) / a
+    root2 = (-half_b + sq) / a
+    pick1 = jnp.abs(root1 - t) <= jnp.abs(root2 - t)
+    t = jnp.where(disc > 0, jnp.where(pick1, root1, root2), t)
+    p_obj = o_b + d_b * t
     # Outward normal in object space; /r handles sign for negative radii.
-    n_obj = (p_obj - center) / r[:, None]
+    n_obj = (p_obj - center) * (1.0 / r)
     # Spherical UV from the object-space outward normal (sphere.h:24-37).
-    # stop_gradient: arccos/arctan2 have infinite local derivatives at the
-    # poles, and even a zero cotangent times inf is NaN — UV coordinate
-    # gradients for spheres are detached (they only feed nearest-texel
-    # image lookups, which are not differentiable in the coordinate anyway).
+    # stop_gradient: arccos/arctan2 have infinite pole derivatives and even a
+    # zero cotangent times inf is NaN; sphere UVs only feed nearest-texel
+    # lookups (not coordinate-differentiable anyway).
     n_uv = jax.lax.stop_gradient(n_obj)
-    theta = jnp.arccos(jnp.clip(-n_uv[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-n_uv[:, 2], n_uv[:, 0]) + jnp.pi
+    theta = jnp.arccos(jnp.clip(-n_uv.y, -1.0, 1.0))
+    phi = jnp.arctan2(-n_uv.z, n_uv.x) + jnp.pi
     u = (phi / (2.0 * jnp.pi)) * has_uv
     v = (theta / jnp.pi) * has_uv
-    n_world = _xf_vec_to_world(rot, n_obj)
-    p_world = o + t[:, None] * d
-    return p_world, n_world, scene.sph_mat[ii], u, v, u, v
+    n_world = vec3.rotate(rows, n_obj)
+    p_world = o + d * t
+    return t, p_world, n_world, scene.sph_mat[ii], u, v, u, v
 
 
 def _rect_record(scene, o, d, t, idx):
@@ -387,71 +433,102 @@ def _rect_record(scene, o, d, t, idx):
     axis = scene.rect_axis[ii]
     lo = scene.rect_lo[ii]
     hi = scene.rect_hi[ii]
-    rot, trans = _gather_xf(scene, scene.rect_xf[ii])
-    o_b, d_b = _xf_ray_to_object(rot, trans, o, d)
-    p_obj = o_b + t[:, None] * d_b
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.rect_xf[ii], o, d)
+    # Differentiable t recompute from the plane equation.
+    o_ax = _axis_component(o_b, axis)
+    d_ax = _axis_component(d_b, axis)
+    ok = d_ax != 0.0
+    t = jnp.where(ok, (scene.rect_k[ii] - o_ax) / jnp.where(ok, d_ax, 1.0), t)
+    p_obj = o_b + d_b * t
     au = jnp.where(axis == 0, 1, 0)
     av = jnp.where(axis == 2, 1, 2)
-    pu = jnp.take_along_axis(p_obj, au[:, None], axis=1)[:, 0]
-    pv = jnp.take_along_axis(p_obj, av[:, None], axis=1)[:, 0]
+    pu = _axis_component(p_obj, au)
+    pv = _axis_component(p_obj, av)
     u = (pu - lo[:, 0]) / (hi[:, 0] - lo[:, 0])
     v = (pv - lo[:, 1]) / (hi[:, 1] - lo[:, 1])
-    n_obj = jax.nn.one_hot(axis, 3, dtype=o.dtype)
-    n_world = _xf_vec_to_world(rot, n_obj)
-    p_world = o + t[:, None] * d
-    return p_world, n_world, scene.rect_mat[ii], u, v, u, v
+    one = jnp.ones_like(t)
+    zero = jnp.zeros_like(t)
+    n_obj = V3(
+        jnp.where(axis == 0, one, zero),
+        jnp.where(axis == 1, one, zero),
+        jnp.where(axis == 2, one, zero),
+    )
+    n_world = vec3.rotate(rows, n_obj)
+    p_world = o + d * t
+    return t, p_world, n_world, scene.rect_mat[ii], u, v, u, v
 
 
 def _triangle_record(scene, o, d, t, idx):
     ii = jnp.clip(idx, 0, scene.n_triangles - 1)
-    v0 = scene.tri_v0[ii]
-    v1 = scene.tri_v1[ii]
-    v2 = scene.tri_v2[ii]
-    rot, trans = _gather_xf(scene, scene.tri_xf[ii])
-    o_b, d_b = _xf_ray_to_object(rot, trans, o, d)
-    p_obj = o_b + t[:, None] * d_b
-    n = jnp.cross(v1 - v0, v2 - v0)
-    n2 = jnp.sum(n * n, axis=-1)
+    v0 = _col3(scene.tri_v0, ii)
+    v1 = _col3(scene.tri_v1, ii)
+    v2 = _col3(scene.tri_v2, ii)
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.tri_xf[ii], o, d)
+    n = vec3.cross(v1 - v0, v2 - v0)
+    # Differentiable t recompute from the plane equation.
+    ndotd = vec3.dot(n, d_b)
+    ok = ndotd != 0.0
+    t = jnp.where(
+        ok, (vec3.dot(n, v0) - vec3.dot(n, o_b)) / jnp.where(ok, ndotd, 1.0), t
+    )
+    p_obj = o_b + d_b * t
+    n2 = vec3.length_squared(n)
     # Area-ratio barycentrics exactly as triangle.h:62-84: u weights vertex 1,
     # v weights vertex 2, (1-u-v) weights vertex 3.
-    u = jnp.sum(n * jnp.cross(v2 - v1, p_obj - v1), -1) / n2
-    v = jnp.sum(n * jnp.cross(v0 - v2, p_obj - v2), -1) / n2
+    u = vec3.dot(n, vec3.cross(v2 - v1, p_obj - v1)) / n2
+    v = vec3.dot(n, vec3.cross(v0 - v2, p_obj - v2)) / n2
     w = 1.0 - u - v
-    uv = (
-        u[:, None] * scene.tri_uv0[ii]
-        + v[:, None] * scene.tri_uv1[ii]
-        + w[:, None] * scene.tri_uv2[ii]
-    )
+    uv0 = scene.tri_uv0[ii]
+    uv1 = scene.tri_uv1[ii]
+    uv2 = scene.tri_uv2[ii]
+    tu = u * uv0[:, 0] + v * uv1[:, 0] + w * uv2[:, 0]
+    tv = u * uv0[:, 1] + v * uv1[:, 1] + w * uv2[:, 1]
     # DIVERGENCE from reference: normalized normal (see module docstring).
-    n_world = vecmath.unit(_xf_vec_to_world(rot, n))
-    p_world = o + t[:, None] * d
-    return p_world, n_world, scene.tri_mat[ii], u, v, uv[:, 0], uv[:, 1]
+    n_world = vec3.unit(vec3.rotate(rows, n))
+    p_world = o + d * t
+    return t, p_world, n_world, scene.tri_mat[ii], u, v, tu, tv
 
 
-def _medium_record(scene, o, d, t, idx):
+def _medium_record(scene, o, d, t, idx, u_media):
     ii = jnp.clip(idx, 0, scene.n_media - 1)
-    p_world = o + t[:, None] * d
+    # Differentiable t recompute: the free-flight distance is a smooth
+    # function of the boundary interval and density given the (detached)
+    # uniform, so gradients flow to boundary params and density.
+    t1, t2, _ = _medium_interval(scene, o, d)
+    t1 = jnp.take_along_axis(t1, ii[:, None], axis=1)[:, 0]
+    r1 = jnp.maximum(jnp.maximum(t1, 1e-3), 0.0)
+    ray_len = vec3.length(d)
+    if u_media.shape[1]:
+        u = jnp.take_along_axis(u_media, ii[:, None], axis=1)[:, 0]
+    else:
+        u = jnp.zeros_like(t)
+    hd = scene.med_neg_inv_density[ii] * jnp.log(jnp.maximum(u, 1e-37))
+    t = r1 + hd / ray_len
+    p_world = o + d * t
     # Arbitrary fixed normal and front_face=true (constant_medium.h:77-78).
-    n = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0], o.dtype), p_world.shape
-    )
+    n = V3.full_like(t, 1.0, 0.0, 0.0)
     z = jnp.zeros_like(t)
-    return p_world, n, scene.med_mat[ii], z, z, z, z
+    return t, p_world, n, scene.med_mat[ii], z, z, z, z
 
 
-def make_hit_record(scene, o, d, time, t, kind, idx) -> HitRecord:
-    """Reconstruct the full hit record for each ray's winning primitive."""
-    B = o.shape[0]
-    z3 = jnp.zeros((B, 3), o.dtype)
-    z = jnp.zeros((B,), o.dtype)
-    p, n, mat, u, v, tu, tv = z3, z3, jnp.zeros((B,), jnp.int32), z, z, z, z
+def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None) -> HitRecord:
+    """Reconstruct the full hit record for each ray's winning primitive.
+
+    ``t`` is used only as a detached selection hint; each kind recomputes its
+    own t differentiably, so callers may pass ``stop_gradient(t)``.
+    """
+    B = t.shape[0]
+    z = jnp.zeros((B,), o.x.dtype)
+    zv = V3(z, z, z)
+    p, n, mat, u, v, tu, tv = zv, zv, jnp.zeros((B,), jnp.int32), z, z, z, z
+    t_out = t
 
     def merge(cond, new):
-        nonlocal p, n, mat, u, v, tu, tv
-        np_, nn, nm, nu, nv, ntu, ntv = new
-        c1 = cond[:, None]
-        p = jnp.where(c1, np_, p)
-        n = jnp.where(c1, nn, n)
+        nonlocal t_out, p, n, mat, u, v, tu, tv
+        nt, np_, nn, nm, nu, nv, ntu, ntv = new
+        t_out = jnp.where(cond, nt, t_out)
+        p = vec3.where(cond, np_, p)
+        n = vec3.where(cond, nn, n)
         mat = jnp.where(cond, nm, mat)
         u = jnp.where(cond, nu, u)
         v = jnp.where(cond, nv, v)
@@ -465,11 +542,13 @@ def make_hit_record(scene, o, d, time, t, kind, idx) -> HitRecord:
     if scene.n_triangles:
         merge(kind == scene_lib.PRIM_TRIANGLE, _triangle_record(scene, o, d, t, idx))
     if scene.n_media:
-        merge(kind == scene_lib.PRIM_MEDIUM, _medium_record(scene, o, d, t, idx))
+        if u_media is None:
+            u_media = jnp.zeros((B, scene.n_media), o.x.dtype)
+        merge(kind == scene_lib.PRIM_MEDIUM, _medium_record(scene, o, d, t, idx, u_media))
 
     is_medium = kind == scene_lib.PRIM_MEDIUM
     # set_face_normal (hittable.h:18-22); media force front=true with the
     # arbitrary (1,0,0) normal.
-    front = (vecmath.dot(d, n) < 0.0) | is_medium
-    n = jnp.where((front | is_medium)[:, None], n, -n)
-    return HitRecord(t=t, p=p, normal=n, front_face=front, mat=mat, u=u, v=v, tu=tu, tv=tv)
+    front = (vec3.dot(d, n) < 0.0) | is_medium
+    n = vec3.where(front | is_medium, n, -n)
+    return HitRecord(t=t_out, p=p, normal=n, front_face=front, mat=mat, u=u, v=v, tu=tu, tv=tv)

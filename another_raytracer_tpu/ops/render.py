@@ -36,8 +36,11 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     range (then psums).  Because the RNG is keyed on absolute (pixel, sample)
     ids, any partition produces identical contributions.
 
-    Returns (radiance_sum [Np, 3], segments [] int32).
+    Returns (radiance_sum V3 of [Np], segments [] int32).
     """
+    from another_raytracer_tpu.ops import vec3
+    from another_raytracer_tpu.ops.vec3 import V3
+
     n_pixels = pixel_ids.shape[0]
     spass = min(samples_per_pass, n_samples)
     n_chunks = -(-n_samples // spass)
@@ -56,11 +59,11 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         )
         # Mask samples beyond the range (ragged last chunk / spp cap).
         valid = (sample_ids < jnp.uint32(sample_start) + n_samples) & (sample_ids < spp_cap)
-        radiance = jnp.where(valid[:, None], radiance, 0.0)
-        acc = acc + radiance.reshape(spass, n_pixels, 3).sum(axis=0)
+        radiance = vec3.where(valid, radiance, V3.zeros(valid.shape))
+        acc = acc + radiance.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
         return (acc, segments + segs), None
 
-    init = (jnp.zeros((n_pixels, 3), jnp.float32), jnp.int32(0))
+    init = (V3.zeros((n_pixels,), jnp.float32), jnp.int32(0))
     if n_chunks == 1:
         (acc, segments), _ = one_pass(init, jnp.uint32(0))
     else:
@@ -79,7 +82,7 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
                     max_depth, t_min, differentiable=False):
     """Per-pixel radiance sums over ``spp`` samples.
 
-    Returns (radiance_sum [H*W, 3], segments [] int32).  The sum is
+    Returns (radiance_sum V3 of [H*W], segments [] int32).  The sum is
     un-averaged, exactly like ``_stochastic_sample`` returning the raw sample
     sum (engine.h:58-68) with averaging deferred to write_color.
     """
@@ -112,6 +115,7 @@ def render(scene, cam, config: RenderConfig):
         samples_per_pass=config.samples_per_pass, max_depth=config.max_depth,
         t_min=config.t_min,
     )
-    img = color_lib.to_uint8(acc, config.samples_per_pixel)
-    img = np.asarray(img).reshape(config.height, config.width, 3)
+    from another_raytracer_tpu.ops import vec3
+    img = np.asarray(color_lib.to_uint8(vec3.to_numpy(acc), config.samples_per_pixel))
+    img = img.reshape(config.height, config.width, 3)
     return img, {"segments": int(segments)}

@@ -1,10 +1,11 @@
-"""Texture evaluation, emission, and branchless material scatter.
+"""Texture evaluation, emission, and branchless material scatter (column SoA).
 
 The reference dispatches scatter through ``material::scatter`` virtual calls
 (src/rendering/material.h) and textures through ``texture::value``
 (src/rendering/texture.h).  Here both are data: every ray evaluates the small
 set of closed-form candidates and a masked select keyed on the material /
 texture kind picks the winner — no divergent control flow, pure VPU lanes.
+All colors/vectors are ``V3`` of [B] arrays (see ops/vec3.py for why).
 
 Scatter contracts (reference locations):
   * lambertian: dir = normal + random_unit_vector, near-zero fallback to the
@@ -22,8 +23,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from another_raytracer_tpu.models import scene as scene_lib
-from another_raytracer_tpu.ops import rng, vecmath
-from another_raytracer_tpu.ops.intersect import HitRecord
+from another_raytracer_tpu.ops import rng, vec3
+from another_raytracer_tpu.ops.intersect import HitRecord, _col3
+from another_raytracer_tpu.ops.vec3 import V3
 
 PERLIN_N = scene_lib.PERLIN_POINT_COUNT
 
@@ -33,49 +35,53 @@ PERLIN_N = scene_lib.PERLIN_POINT_COUNT
 # --------------------------------------------------------------------------
 
 
-def perlin_noise(scene, perlin_ids, p):
-    """Gradient Perlin noise per ray.
-
-    perlin_ids: [B] int32 index of the perlin instance (one per noise
-    texture, matching the reference where each noise_texture owns its own
-    tables).  p: [B,3].  Returns [B] in roughly [-1, 1].
+def perlin_noise(scene, perlin_ids, p: V3):
+    """Gradient Perlin noise per ray ([B] in roughly [-1, 1]).
 
     Lattice hash perm_x[i&255] ^ perm_y[j&255] ^ perm_z[k&255] and trilinear
-    Hermite-smoothed gradient interpolation exactly as perlin.h:29-96.
+    Hermite-smoothed gradient interpolation exactly as perlin.h:29-96; each
+    noise texture has its own tables (texture.h:52-65).
     """
     pid = jnp.clip(perlin_ids, 0, scene.per_perm.shape[0] - 1)
-    fl = jnp.floor(p)
-    uvw = p - fl
-    ijk = fl.astype(jnp.int32)
+    fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
+    u, v, w = p.x - fx, p.y - fy, p.z - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
 
     # Hermite smoothing u*u*(3-2u) (perlin.h:80-82).
-    smooth = uvw * uvw * (3.0 - 2.0 * uvw)
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
 
     perm = scene.per_perm  # [Q,3,256]
-    ranvec_flat = scene.per_ranvec.reshape(-1, 3)  # [Q*256,3]
+    rx = scene.per_ranvec[..., 0].reshape(-1)  # [Q*256]
+    ry = scene.per_ranvec[..., 1].reshape(-1)
+    rz = scene.per_ranvec[..., 2].reshape(-1)
 
-    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    accum = jnp.zeros_like(p.x)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                px = perm[pid, 0, (ijk[..., 0] + di) & (PERLIN_N - 1)]
-                py = perm[pid, 1, (ijk[..., 1] + dj) & (PERLIN_N - 1)]
-                pz = perm[pid, 2, (ijk[..., 2] + dk) & (PERLIN_N - 1)]
-                g = ranvec_flat[pid * PERLIN_N + (px ^ py ^ pz)]  # [B,3]
-                weight_v = uvw - jnp.array([di, dj, dk], p.dtype)
-                w = (
-                    (di * smooth[..., 0] + (1 - di) * (1.0 - smooth[..., 0]))
-                    * (dj * smooth[..., 1] + (1 - dj) * (1.0 - smooth[..., 1]))
-                    * (dk * smooth[..., 2] + (1 - dk) * (1.0 - smooth[..., 2]))
+                px = perm[pid, 0, (i + di) & (PERLIN_N - 1)]
+                py = perm[pid, 1, (j + dj) & (PERLIN_N - 1)]
+                pz = perm[pid, 2, (k + dk) & (PERLIN_N - 1)]
+                gidx = pid * PERLIN_N + (px ^ py ^ pz)
+                g = V3(rx[gidx], ry[gidx], rz[gidx])
+                weight_v = V3(u - di, v - dj, w - dk)
+                wgt = (
+                    (di * uu + (1 - di) * (1.0 - uu))
+                    * (dj * vv + (1 - dj) * (1.0 - vv))
+                    * (dk * ww + (1 - dk) * (1.0 - ww))
                 )
-                accum = accum + w * jnp.sum(g * weight_v, axis=-1)
+                accum = accum + wgt * vec3.dot(g, weight_v)
     return accum
 
 
-def perlin_turb(scene, perlin_ids, p, depth: int = 7):
+def perlin_turb(scene, perlin_ids, p: V3, depth: int = 7):
     """7-octave fBm |accum| (perlin.h:42-54) — part of the reference API
     surface (unused by the stock noise_texture but kept for parity)."""
-    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    accum = jnp.zeros_like(p.x)
     weight = 1.0
     q = p
     for _ in range(depth):
@@ -90,7 +96,7 @@ def perlin_turb(scene, perlin_ids, p, depth: int = 7):
 # --------------------------------------------------------------------------
 
 
-def texture_value(scene, tex_ids, u, v, tu, tv, p):
+def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
     """Evaluate the texture table for a batch.
 
     (u, v) are the raw surface parameters (barycentric for triangles) feeding
@@ -101,22 +107,23 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p):
     """
     tid = jnp.clip(tex_ids, 0, scene.tex_kind.shape[0] - 1)
     kind = scene.tex_kind[tid]
-    ca = scene.tex_ca[tid]
-    cb = scene.tex_cb[tid]
-    cc = scene.tex_cc[tid]
+    ca = _col3(scene.tex_ca, tid)
+    cb = _col3(scene.tex_cb, tid)
+    cc = _col3(scene.tex_cc, tid)
 
     out = ca  # TEX_SOLID
 
     # Checker: sign of sin(10x)sin(10y)sin(10z) (texture.h:39-45).
-    sines = jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1]) * jnp.sin(10.0 * p[..., 2])
-    checker = jnp.where((sines < 0.0)[..., None], cb, ca)
-    out = jnp.where((kind == scene_lib.TEX_CHECKER)[..., None], checker, out)
+    sines = jnp.sin(10.0 * p.x) * jnp.sin(10.0 * p.y) * jnp.sin(10.0 * p.z)
+    out = vec3.where(
+        (kind == scene_lib.TEX_CHECKER) & (sines < 0.0), cb, out
+    )
 
     # Perlin: 0.5*(1+noise(scale*p)) grayscale (texture.h:57-59).
     scale = scene.tex_scale[tid]
-    noise = perlin_noise(scene, scene.tex_aux[tid], scale[..., None] * p)
-    noise_col = (0.5 * (1.0 + noise))[..., None] * jnp.ones((3,), p.dtype)
-    out = jnp.where((kind == scene_lib.TEX_NOISE)[..., None], noise_col, out)
+    noise = perlin_noise(scene, scene.tex_aux[tid], p * scale)
+    gray = 0.5 * (1.0 + noise)
+    out = vec3.where(kind == scene_lib.TEX_NOISE, V3(gray, gray, gray), out)
 
     # Image: clamp u, flip v, nearest texel (texture.h:88-111).
     img = jnp.clip(scene.tex_aux[tid], 0, scene.img_off.shape[0] - 1)
@@ -124,14 +131,14 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p):
     h = scene.img_h[img]
     cu = jnp.clip(tu, 0.0, 1.0)
     cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
-    i = jnp.minimum((cu * w.astype(p.dtype)).astype(jnp.int32), w - 1)
-    j = jnp.minimum((cv * h.astype(p.dtype)).astype(jnp.int32), h - 1)
-    texel = scene.atlas[scene.img_off[img] + j * w + i]
-    out = jnp.where((kind == scene_lib.TEX_IMAGE)[..., None], texel, out)
+    i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
+    j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
+    texel = _col3(scene.atlas, scene.img_off[img] + j * w + i)
+    out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
 
     # Barycentric color blend u*A + v*B + (1-u-v)*C (texture.h:121-133).
-    bary = u[..., None] * ca + v[..., None] * cb + (1.0 - u - v)[..., None] * cc
-    out = jnp.where((kind == scene_lib.TEX_BARYCENTRIC)[..., None], bary, out)
+    bary = ca * u + cb * v + cc * (1.0 - u - v)
+    out = vec3.where(kind == scene_lib.TEX_BARYCENTRIC, bary, out)
     return out
 
 
@@ -140,19 +147,20 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p):
 # --------------------------------------------------------------------------
 
 
-def emitted(scene, rec: HitRecord):
+def emitted(scene, rec: HitRecord) -> V3:
     """diffuse_light emits its texture; everything else black
     (material.h:12-14, 112-114)."""
     kind = scene.mat_kind[rec.mat]
     emit = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
-    return jnp.where((kind == scene_lib.MAT_DIFFUSE_LIGHT)[..., None], emit, 0.0)
+    zero = jnp.zeros_like(rec.u)
+    return vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, emit, V3(zero, zero, zero))
 
 
-def scatter(scene, rec: HitRecord, d_in, pixel_ids, sample_ids, bounce, seed):
+def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed):
     """Branchless scatter for a batch of hits.
 
-    Returns (scatter_dir [B,3] — NOT normalized, matching the reference's
-    un-normalized scattered rays; attenuation [B,3]; scatter_ok [B]).
+    Returns (scatter_dir V3 — NOT normalized, matching the reference's
+    un-normalized scattered rays; attenuation V3; scatter_ok [B]).
     """
     kind = scene.mat_kind[rec.mat]
     n = rec.normal
@@ -160,46 +168,43 @@ def scatter(scene, rec: HitRecord, d_in, pixel_ids, sample_ids, bounce, seed):
     u1, u2 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_A)
     u3, u4 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_B)
 
-    unit_d = vecmath.unit(d_in)
-    rand_unit = vecmath.unit_vector_from_uniforms(u1, u2)
-    rand_in_sphere = rand_unit * jnp.cbrt(u3)[..., None]
+    unit_d = vec3.unit(d_in)
+    rand_unit = vec3.unit_vector_from_uniforms(u1, u2)
+    rand_in_sphere = rand_unit * jnp.cbrt(u3)
 
     # lambertian (material.h:29-36)
     lam_dir = n + rand_unit
-    lam_dir = jnp.where(vecmath.near_zero(lam_dir)[..., None], n, lam_dir)
+    lam_dir = vec3.where(vec3.near_zero(lam_dir), n, lam_dir)
 
     # metal (material.h:52-55)
     fuzz = scene.mat_fuzz[rec.mat]
-    met_dir = vecmath.reflect(unit_d, n) + fuzz[..., None] * rand_in_sphere
-    met_ok = vecmath.dot(met_dir, n) > 0.0
+    met_dir = vec3.reflect(unit_d, n) + rand_in_sphere * fuzz
+    met_ok = vec3.dot(met_dir, n) > 0.0
 
     # dielectric (material.h:70-99)
     ir = scene.mat_ir[rec.mat]
     ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
-    cos_theta = jnp.minimum(vecmath.dot(-unit_d, n), 1.0)
-    # 1e-12 floor: finite grad at grazing incidence (see vecmath.refract).
+    cos_theta = jnp.minimum(vec3.dot(-unit_d, n), 1.0)
+    # 1e-12 floor: finite grad at grazing incidence (see vec3.refract).
     sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     cannot_refract = ratio * sin_theta > 1.0
     r0 = (1.0 - ratio) / (1.0 + ratio)
     r0 = r0 * r0
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    reflect_dir = vecmath.reflect(unit_d, n)
-    refract_dir = vecmath.refract(unit_d, n, ratio)
+    reflect_dir = vec3.reflect(unit_d, n)
+    refract_dir = vec3.refract(unit_d, n, ratio)
     die_reflect = cannot_refract | (reflectance > u4)
-    die_dir = jnp.where(die_reflect[..., None], reflect_dir, refract_dir)
-
-    # isotropic (material.h:128)
-    iso_dir = rand_in_sphere
+    die_dir = vec3.where(die_reflect, reflect_dir, refract_dir)
 
     albedo = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
-    ones = jnp.ones_like(albedo)
+    one = jnp.ones_like(u1)
+    ones = V3(one, one, one)
 
-    k = kind[..., None]
-    direction = jnp.where(k == scene_lib.MAT_METAL, met_dir, lam_dir)
-    direction = jnp.where(k == scene_lib.MAT_DIELECTRIC, die_dir, direction)
-    direction = jnp.where(k == scene_lib.MAT_ISOTROPIC, iso_dir, direction)
+    direction = vec3.where(kind == scene_lib.MAT_METAL, met_dir, lam_dir)
+    direction = vec3.where(kind == scene_lib.MAT_DIELECTRIC, die_dir, direction)
+    direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
 
-    attenuation = jnp.where(k == scene_lib.MAT_DIELECTRIC, ones, albedo)
+    attenuation = vec3.where(kind == scene_lib.MAT_DIELECTRIC, ones, albedo)
 
     ok = jnp.ones_like(met_ok)
     ok = jnp.where(kind == scene_lib.MAT_METAL, met_ok, ok)

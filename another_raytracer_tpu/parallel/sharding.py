@@ -72,7 +72,7 @@ def render_radiance_sharded(scene, cam, seed, *, mesh: Mesh, width, height,
                             spp, samples_per_pass, max_depth, t_min,
                             differentiable=False):
     """Hybrid-sharded radiance: pixels over 'tile', samples over 'spp',
-    psum over 'spp'.  Returns (radiance [H*W, 3] f32, segments int32).
+    psum over 'spp'.  Returns (radiance V3 of [H*W], segments int32).
 
     With mesh shape (N,1) this is parallel_stripes; with (1,N) it is
     parallel_images; rectangular meshes compose both.
@@ -112,7 +112,7 @@ def render_radiance_sharded(scene, cam, seed, *, mesh: Mesh, width, height,
         check_vma=False,
     )
     acc, segs = fn(scene, cam, seed, pixel_ids)
-    return acc[:real_n], segs
+    return acc.map(lambda c: c[:real_n]), segs
 
 
 def render_sharded(scene, cam, config: RenderConfig, mesh: Mesh = None):
@@ -129,6 +129,8 @@ def render_sharded(scene, cam, config: RenderConfig, mesh: Mesh = None):
         samples_per_pass=config.samples_per_pass, max_depth=config.max_depth,
         t_min=config.t_min,
     )
-    img = color_lib.to_uint8(acc, config.samples_per_pixel)
-    img = np.asarray(img).reshape(config.height, config.width, 3)
+    from another_raytracer_tpu.ops import vec3
+
+    img = np.asarray(color_lib.to_uint8(vec3.to_numpy(acc), config.samples_per_pixel))
+    img = img.reshape(config.height, config.width, 3)
     return img, {"segments": int(segments), "mesh": dict(mesh.shape)}

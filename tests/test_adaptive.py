@@ -27,7 +27,8 @@ def test_adaptive_matches_exact_on_traced_pixels():
         scene, cam, jnp.uint32(1), width=W, height=H, spp=SPP,
         samples_per_pass=2, max_depth=DEPTH, t_min=1e-3,
     )
-    exact_img = np.asarray(color_lib.to_uint8(exact, SPP)).reshape(H, W, 3)
+    from another_raytracer_tpu.ops import vec3
+    exact_img = np.asarray(color_lib.to_uint8(vec3.to_numpy(exact), SPP)).reshape(H, W, 3)
 
     # Big-square corner pixels are always traced exactly: identical values.
     corner_mask = np.zeros((H, W), bool)

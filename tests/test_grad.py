@@ -82,7 +82,8 @@ def test_train_step_reduces_loss():
         target_scene, cam, jnp.uint32(0), width=W, height=H, spp=SPP,
         samples_per_pass=2, max_depth=DEPTH, t_min=1e-3,
     )
-    target = acc / SPP
+    from another_raytracer_tpu.ops import vec3
+    target = jnp.asarray(vec3.to_numpy(acc) / SPP)
 
     state, step = diff.make_train_step(
         scene, cam, target, width=W, height=H, spp=SPP, samples_per_pass=2,

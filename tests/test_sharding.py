@@ -24,7 +24,8 @@ def setup():
         scene, cam, jnp.uint32(1), width=W, height=H, spp=SPP,
         samples_per_pass=2, max_depth=DEPTH, t_min=1e-3,
     )
-    return scene, cam, np.asarray(ref), int(segs)
+    from another_raytracer_tpu.ops import vec3
+    return scene, cam, vec3.to_numpy(ref), int(segs)
 
 
 @pytest.mark.parametrize("n_tile,n_spp", [(8, 1), (1, 4), (4, 2), (2, 2)])
@@ -35,7 +36,8 @@ def test_sharded_matches_single_device(setup, n_tile, n_spp):
         scene, cam, jnp.uint32(1), mesh=mesh, width=W, height=H, spp=SPP,
         samples_per_pass=2, max_depth=DEPTH, t_min=1e-3,
     )
-    np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-5, atol=1e-5)
+    from another_raytracer_tpu.ops import vec3
+    np.testing.assert_allclose(vec3.to_numpy(acc), ref, rtol=1e-5, atol=1e-5)
     assert int(segs) == ref_segs
 
 

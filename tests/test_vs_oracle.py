@@ -24,7 +24,8 @@ def compare(scene, cam_params, spp=4, depth=6, seed=3, width=W, height=H,
         scene, cam, jnp.uint32(seed), width=width, height=height, spp=spp,
         samples_per_pass=min(spp, 4), max_depth=depth, t_min=1e-3,
     )
-    dev = np.asarray(dev, np.float64) / spp
+    from another_raytracer_tpu.ops import vec3
+    dev = vec3.to_numpy(dev).astype(np.float64) / spp
     ora = Oracle(scene).render(
         dict(cam_params, aspect_ratio=width / height),
         width, height, spp, depth, seed
