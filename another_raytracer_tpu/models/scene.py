@@ -156,6 +156,11 @@ class SceneData:
     n_triangles: int = flax.struct.field(pytree_node=False, default=0)
     n_media: int = flax.struct.field(pytree_node=False, default=0)
     n_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    # Which material/texture kinds actually appear — lets shading evaluate
+    # only the code paths a scene uses (a Cornell box pays nothing for
+    # Perlin-noise gathers or dielectric refraction math).
+    mat_kinds: tuple = flax.struct.field(pytree_node=False, default=())
+    tex_kinds: tuple = flax.struct.field(pytree_node=False, default=())
 
     @property
     def num_primitives(self) -> int:
@@ -466,4 +471,6 @@ class SceneBuilder:
             **bvh_arrays,
             n_spheres=ns, n_rects=nr, n_triangles=nt, n_media=nm,
             n_bvh_nodes=n_bvh,
+            mat_kinds=tuple(sorted({m[0] for m in self._materials})),
+            tex_kinds=tuple(sorted({t[0] for t in self._textures})),
         )

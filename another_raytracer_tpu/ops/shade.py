@@ -108,37 +108,46 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
     tid = jnp.clip(tex_ids, 0, scene.tex_kind.shape[0] - 1)
     kind = scene.tex_kind[tid]
     ca = _col3(scene.tex_ca, tid)
-    cb = _col3(scene.tex_cb, tid)
-    cc = _col3(scene.tex_cc, tid)
 
     out = ca  # TEX_SOLID
 
-    # Checker: sign of sin(10x)sin(10y)sin(10z) (texture.h:39-45).
-    sines = jnp.sin(10.0 * p.x) * jnp.sin(10.0 * p.y) * jnp.sin(10.0 * p.z)
-    out = vec3.where(
-        (kind == scene_lib.TEX_CHECKER) & (sines < 0.0), cb, out
-    )
+    # Static kind-presence gating: only compile the texture models the scene
+    # actually contains (scene.tex_kinds is static metadata).
+    kinds = scene.tex_kinds or tuple(range(5))
 
-    # Perlin: 0.5*(1+noise(scale*p)) grayscale (texture.h:57-59).
-    scale = scene.tex_scale[tid]
-    noise = perlin_noise(scene, scene.tex_aux[tid], p * scale)
-    gray = 0.5 * (1.0 + noise)
-    out = vec3.where(kind == scene_lib.TEX_NOISE, V3(gray, gray, gray), out)
+    if scene_lib.TEX_CHECKER in kinds:
+        # Checker: sign of sin(10x)sin(10y)sin(10z) (texture.h:39-45).
+        cb = _col3(scene.tex_cb, tid)
+        sines = jnp.sin(10.0 * p.x) * jnp.sin(10.0 * p.y) * jnp.sin(10.0 * p.z)
+        out = vec3.where(
+            (kind == scene_lib.TEX_CHECKER) & (sines < 0.0), cb, out
+        )
 
-    # Image: clamp u, flip v, nearest texel (texture.h:88-111).
-    img = jnp.clip(scene.tex_aux[tid], 0, scene.img_off.shape[0] - 1)
-    w = scene.img_w[img]
-    h = scene.img_h[img]
-    cu = jnp.clip(tu, 0.0, 1.0)
-    cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
-    i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
-    j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
-    texel = _col3(scene.atlas, scene.img_off[img] + j * w + i)
-    out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
+    if scene_lib.TEX_NOISE in kinds:
+        # Perlin: 0.5*(1+noise(scale*p)) grayscale (texture.h:57-59).
+        scale = scene.tex_scale[tid]
+        noise = perlin_noise(scene, scene.tex_aux[tid], p * scale)
+        gray = 0.5 * (1.0 + noise)
+        out = vec3.where(kind == scene_lib.TEX_NOISE, V3(gray, gray, gray), out)
 
-    # Barycentric color blend u*A + v*B + (1-u-v)*C (texture.h:121-133).
-    bary = ca * u + cb * v + cc * (1.0 - u - v)
-    out = vec3.where(kind == scene_lib.TEX_BARYCENTRIC, bary, out)
+    if scene_lib.TEX_IMAGE in kinds:
+        # Image: clamp u, flip v, nearest texel (texture.h:88-111).
+        img = jnp.clip(scene.tex_aux[tid], 0, scene.img_off.shape[0] - 1)
+        w = scene.img_w[img]
+        h = scene.img_h[img]
+        cu = jnp.clip(tu, 0.0, 1.0)
+        cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
+        i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
+        j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
+        texel = _col3(scene.atlas, scene.img_off[img] + j * w + i)
+        out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
+
+    if scene_lib.TEX_BARYCENTRIC in kinds:
+        # Barycentric color blend u*A + v*B + (1-u-v)*C (texture.h:121-133).
+        cb = _col3(scene.tex_cb, tid)
+        cc = _col3(scene.tex_cc, tid)
+        bary = ca * u + cb * v + cc * (1.0 - u - v)
+        out = vec3.where(kind == scene_lib.TEX_BARYCENTRIC, bary, out)
     return out
 
 
@@ -150,9 +159,11 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
 def emitted(scene, rec: HitRecord) -> V3:
     """diffuse_light emits its texture; everything else black
     (material.h:12-14, 112-114)."""
+    zero = jnp.zeros_like(rec.u)
+    if scene.mat_kinds and scene_lib.MAT_DIFFUSE_LIGHT not in scene.mat_kinds:
+        return V3(zero, zero, zero)
     kind = scene.mat_kind[rec.mat]
     emit = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
-    zero = jnp.zeros_like(rec.u)
     return vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, emit, V3(zero, zero, zero))
 
 
@@ -164,49 +175,58 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     """
     kind = scene.mat_kind[rec.mat]
     n = rec.normal
+    kinds = scene.mat_kinds or tuple(range(5))
 
     u1, u2 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_A)
     u3, u4 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_B)
 
-    unit_d = vec3.unit(d_in)
     rand_unit = vec3.unit_vector_from_uniforms(u1, u2)
-    rand_in_sphere = rand_unit * jnp.cbrt(u3)
+    need_sphere = (scene_lib.MAT_METAL in kinds) or (scene_lib.MAT_ISOTROPIC in kinds)
+    need_unit_d = (scene_lib.MAT_METAL in kinds) or (scene_lib.MAT_DIELECTRIC in kinds)
+    rand_in_sphere = rand_unit * jnp.cbrt(u3) if need_sphere else rand_unit
+    unit_d = vec3.unit(d_in) if need_unit_d else d_in
 
     # lambertian (material.h:29-36)
     lam_dir = n + rand_unit
     lam_dir = vec3.where(vec3.near_zero(lam_dir), n, lam_dir)
+    direction = lam_dir
+    ok = jnp.ones(u1.shape, bool)
 
-    # metal (material.h:52-55)
-    fuzz = scene.mat_fuzz[rec.mat]
-    met_dir = vec3.reflect(unit_d, n) + rand_in_sphere * fuzz
-    met_ok = vec3.dot(met_dir, n) > 0.0
+    if scene_lib.MAT_METAL in kinds:
+        # metal (material.h:52-55)
+        fuzz = scene.mat_fuzz[rec.mat]
+        met_dir = vec3.reflect(unit_d, n) + rand_in_sphere * fuzz
+        met_ok = vec3.dot(met_dir, n) > 0.0
+        direction = vec3.where(kind == scene_lib.MAT_METAL, met_dir, direction)
+        ok = jnp.where(kind == scene_lib.MAT_METAL, met_ok, ok)
 
-    # dielectric (material.h:70-99)
-    ir = scene.mat_ir[rec.mat]
-    ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
-    cos_theta = jnp.minimum(vec3.dot(-unit_d, n), 1.0)
-    # 1e-12 floor: finite grad at grazing incidence (see vec3.refract).
-    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
-    cannot_refract = ratio * sin_theta > 1.0
-    r0 = (1.0 - ratio) / (1.0 + ratio)
-    r0 = r0 * r0
-    reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    reflect_dir = vec3.reflect(unit_d, n)
-    refract_dir = vec3.refract(unit_d, n, ratio)
-    die_reflect = cannot_refract | (reflectance > u4)
-    die_dir = vec3.where(die_reflect, reflect_dir, refract_dir)
+    if scene_lib.MAT_DIELECTRIC in kinds:
+        # dielectric (material.h:70-99)
+        ir = scene.mat_ir[rec.mat]
+        ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
+        cos_theta = jnp.minimum(vec3.dot(-unit_d, n), 1.0)
+        # 1e-12 floor: finite grad at grazing incidence (see vec3.refract).
+        sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
+        cannot_refract = ratio * sin_theta > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+        reflect_dir = vec3.reflect(unit_d, n)
+        refract_dir = vec3.refract(unit_d, n, ratio)
+        die_reflect = cannot_refract | (reflectance > u4)
+        die_dir = vec3.where(die_reflect, reflect_dir, refract_dir)
+        direction = vec3.where(kind == scene_lib.MAT_DIELECTRIC, die_dir, direction)
+
+    if scene_lib.MAT_ISOTROPIC in kinds:
+        direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
 
     albedo = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
-    one = jnp.ones_like(u1)
-    ones = V3(one, one, one)
-
-    direction = vec3.where(kind == scene_lib.MAT_METAL, met_dir, lam_dir)
-    direction = vec3.where(kind == scene_lib.MAT_DIELECTRIC, die_dir, direction)
-    direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
-
-    attenuation = vec3.where(kind == scene_lib.MAT_DIELECTRIC, ones, albedo)
-
-    ok = jnp.ones_like(met_ok)
-    ok = jnp.where(kind == scene_lib.MAT_METAL, met_ok, ok)
-    ok = jnp.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, False, ok)
+    attenuation = albedo
+    if scene_lib.MAT_DIELECTRIC in kinds:
+        one = jnp.ones_like(u1)
+        attenuation = vec3.where(
+            kind == scene_lib.MAT_DIELECTRIC, V3(one, one, one), attenuation
+        )
+    if scene_lib.MAT_DIFFUSE_LIGHT in kinds:
+        ok = jnp.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, False, ok)
     return direction, attenuation, ok

@@ -1,0 +1,110 @@
+"""Progressive render preview + tile checkpointing.
+
+The reference shows live progress in an X11 window (``dynamic_gui``,
+gui.cpp:25-58) and persists nothing — a crash loses the frame (SURVEY §5).
+Here both concerns are host-side callbacks around the sample loop:
+
+  * ``ProgressivePreview`` accumulates per-pass radiance and writes a PNG
+    snapshot every ``interval`` passes — the headless equivalent of the live
+    window (rendering math never depends on it, same as the reference).
+  * ``RenderCheckpoint`` persists the accumulator + pass counter + RNG seed
+    to an .npz after each chunk; ``resume`` restores it, so an interrupted
+    long render continues exactly (counter-based RNG makes the remaining
+    samples identical to an uninterrupted run).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from another_raytracer_tpu.ops import color as color_lib
+
+
+@dataclasses.dataclass
+class ProgressivePreview:
+    path: str
+    width: int
+    height: int
+    interval: int = 1  # write every N updates
+    _count: int = 0
+
+    def update(self, radiance_sum: np.ndarray, samples_done: int) -> None:
+        self._count += 1
+        if self._count % self.interval:
+            return
+        from another_raytracer_tpu.utils import imageio
+
+        img = np.asarray(color_lib.to_uint8(radiance_sum, max(samples_done, 1)))
+        imageio.save_png(self.path, img.reshape(self.height, self.width, 3))
+
+
+@dataclasses.dataclass
+class RenderCheckpoint:
+    path: str
+
+    def save(self, radiance_sum: np.ndarray, samples_done: int, seed: int,
+             width: int, height: int) -> None:
+        tmp = Path(str(self.path) + ".tmp")
+        np.savez(
+            tmp, radiance=radiance_sum, samples_done=samples_done, seed=seed,
+            width=width, height=height,
+        )
+        # np.savez appends .npz to the filename it opens
+        Path(str(tmp) + ".npz").replace(self.path)
+
+    def load(self) -> Optional[dict]:
+        p = Path(self.path)
+        if not p.exists():
+            return None
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
+
+
+def render_progressive(scene, cam, config, preview: ProgressivePreview = None,
+                       checkpoint: RenderCheckpoint = None):
+    """Single-device progressive render with preview + checkpoint/resume.
+
+    Renders ``samples_per_pass`` samples per device call (host loop over
+    chunks instead of the fused lax.scan), feeding callbacks between chunks.
+    Returns (uint8 image [H,W,3], stats).
+    """
+    import jax.numpy as jnp
+
+    from another_raytracer_tpu.ops import render as render_lib
+    from another_raytracer_tpu.ops import vec3
+
+    W, H, spp = config.width, config.height, config.samples_per_pixel
+    spass = min(config.samples_per_pass, spp)
+    pixel_ids = jnp.arange(W * H, dtype=jnp.uint32)
+
+    start_chunk = 0
+    acc = np.zeros((W * H, 3), np.float64)
+    if checkpoint is not None:
+        state = checkpoint.load()
+        if state is not None and int(state["width"]) == W and int(state["height"]) == H:
+            acc = state["radiance"].astype(np.float64)
+            start_chunk = int(state["samples_done"]) // spass
+
+    segments = 0
+    n_chunks = -(-spp // spass)
+    for chunk in range(start_chunk, n_chunks):
+        r, segs = render_lib.radiance_batch(
+            scene, cam, pixel_ids, jnp.uint32(config.seed),
+            width=W, height=H, sample_start=chunk * spass, n_samples=spass,
+            spp_cap=spp, samples_per_pass=spass, max_depth=config.max_depth,
+            t_min=config.t_min,
+        )
+        acc += vec3.to_numpy(r)
+        segments += int(segs)
+        done = min((chunk + 1) * spass, spp)
+        if preview is not None:
+            preview.update(acc, done)
+        if checkpoint is not None:
+            checkpoint.save(acc, done, config.seed, W, H)
+
+    img = np.asarray(color_lib.to_uint8(acc, spp)).reshape(H, W, 3)
+    return img, {"segments": segments, "resumed_at_chunk": start_chunk}
