@@ -35,6 +35,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="output.png")
     p.add_argument("--scene-seed", type=int, default=1234)
+    p.add_argument("--preview", default=None, metavar="PNG",
+                   help="write a live progress snapshot PNG between passes "
+                        "(headless equivalent of the reference's dynamic_gui)")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="persist/resume render state (exact resume via "
+                        "counter-based RNG)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the render")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(
@@ -47,8 +55,25 @@ def main(argv=None):
 
     print(f"rendering scene {args.scene} at {cfg.width}x{cfg.height} "
           f"spp={cfg.samples_per_pixel} depth={cfg.max_depth} mode={cfg.mode.value}")
+
+    def do_render():
+        if args.preview or args.checkpoint:
+            from another_raytracer_tpu.utils import preview as preview_lib
+
+            prev = (preview_lib.ProgressivePreview(args.preview, cfg.width, cfg.height)
+                    if args.preview else None)
+            ckpt = preview_lib.RenderCheckpoint(args.checkpoint) if args.checkpoint else None
+            return preview_lib.render_progressive(scene, cam, cfg, prev, ckpt)
+        return render_lib.render(scene, cam, cfg)
+
     t0 = time.time()
-    img, stats = render_lib.render(scene, cam, cfg)
+    if args.profile_dir:
+        from another_raytracer_tpu.utils import profiling
+
+        with profiling.trace(args.profile_dir):
+            img, stats = do_render()
+    else:
+        img, stats = do_render()
     elapsed = time.time() - t0
     segments = stats.get("segments", 0)
     # Honest rays/s: actual traced ray segments including bounces — unlike

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from another_raytracer_tpu.models import scene as scene_lib
 from another_raytracer_tpu.ops import vec3
+from another_raytracer_tpu.ops.gather import Lookup
 from another_raytracer_tpu.ops.vec3 import V3
 
 BIG = jnp.float32(3e37)  # effectively +infinity for t comparisons
@@ -118,11 +119,19 @@ def _ray_to_object_bn(scene, xf_ids, o: V3, d: V3):
 
 def _ray_to_object_gathered(scene, xf_ids, o: V3, d: V3):
     """Per-ray gathered transforms ([B]): returns (o_obj, d_obj, rows of R)
-    where rows are for object->world (normal/point transforms)."""
-    rot = scene.xf_rot[xf_ids]  # [B,3,3]
-    tr = _col3(scene.xf_trans, xf_ids)
-    rows = _rows(rot)
-    cols = _cols(rot)
+    where rows are for object->world (normal/point transforms).  All twelve
+    transform scalars come through one one-hot matmul (ops/gather.py)."""
+    r = scene.xf_rot
+    look = Lookup(xf_ids, r.shape[0])
+    (r00, r01, r02, r10, r11, r12, r20, r21, r22, tx, ty, tz) = look(
+        r[:, 0, 0], r[:, 0, 1], r[:, 0, 2],
+        r[:, 1, 0], r[:, 1, 1], r[:, 1, 2],
+        r[:, 2, 0], r[:, 2, 1], r[:, 2, 2],
+        scene.xf_trans[:, 0], scene.xf_trans[:, 1], scene.xf_trans[:, 2],
+    )
+    rows = (V3(r00, r01, r02), V3(r10, r11, r12), V3(r20, r21, r22))
+    cols = (V3(r00, r10, r20), V3(r01, r11, r21), V3(r02, r12, r22))
+    tr = V3(tx, ty, tz)
     oc = o - tr
     o_b = V3(vec3.dot(cols[0], oc), vec3.dot(cols[1], oc), vec3.dot(cols[2], oc))
     d_b = V3(vec3.dot(cols[0], d), vec3.dot(cols[1], d), vec3.dot(cols[2], d))
@@ -321,7 +330,7 @@ def _fold_kind(best, t, valid, kind, base_idx):
     bt, bk, bi = best
     t = jnp.where(valid, t, BIG)
     i = jnp.argmin(t, axis=-1)
-    tm = jnp.take_along_axis(t, i[:, None], axis=-1)[:, 0]
+    tm = jnp.min(t, axis=-1)
     better = tm < bt
     return (
         jnp.where(better, tm, bt),
@@ -388,13 +397,16 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
 
 def _sphere_record(scene, o, d, time, t, idx):
     ii = jnp.clip(idx, 0, scene.n_spheres - 1)
-    c0 = _col3(scene.sph_c0, ii)
-    c1 = _col3(scene.sph_c1, ii)
-    t0 = scene.sph_t0[ii]
-    t1 = scene.sph_t1[ii]
-    r = scene.sph_r[ii]
-    has_uv = scene.sph_has_uv[ii]
-    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.sph_xf[ii], o, d)
+    look = Lookup(ii, scene.n_spheres)
+    (c0x, c0y, c0z, c1x, c1y, c1z, t0, t1, r, has_uv, xf) = look(
+        scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2],
+        scene.sph_c1[:, 0], scene.sph_c1[:, 1], scene.sph_c1[:, 2],
+        scene.sph_t0, scene.sph_t1, scene.sph_r, scene.sph_has_uv,
+        scene.sph_xf,
+    )
+    c0 = V3(c0x, c0y, c0z)
+    c1 = V3(c1x, c1y, c1z)
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     frac = (time - t0) / (t1 - t0)
     center = c0 + (c1 - c0) * frac
     # Differentiable t recompute: the winner index (and which quadratic root
@@ -425,27 +437,32 @@ def _sphere_record(scene, o, d, time, t, idx):
     v = (theta / jnp.pi) * has_uv
     n_world = vec3.rotate(rows, n_obj)
     p_world = o + d * t
-    return t, p_world, n_world, scene.sph_mat[ii], u, v, u, v
+    (mat,) = look(scene.sph_mat)
+    return t, p_world, n_world, mat, u, v, u, v
 
 
 def _rect_record(scene, o, d, t, idx):
     ii = jnp.clip(idx, 0, scene.n_rects - 1)
-    axis = scene.rect_axis[ii]
-    lo = scene.rect_lo[ii]
-    hi = scene.rect_hi[ii]
-    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.rect_xf[ii], o, d)
+    look = Lookup(ii, scene.n_rects)
+    (axis, k, lo0, lo1, hi0, hi1, mat, xf) = look(
+        scene.rect_axis, scene.rect_k,
+        scene.rect_lo[:, 0], scene.rect_lo[:, 1],
+        scene.rect_hi[:, 0], scene.rect_hi[:, 1],
+        scene.rect_mat, scene.rect_xf,
+    )
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     # Differentiable t recompute from the plane equation.
     o_ax = _axis_component(o_b, axis)
     d_ax = _axis_component(d_b, axis)
     ok = d_ax != 0.0
-    t = jnp.where(ok, (scene.rect_k[ii] - o_ax) / jnp.where(ok, d_ax, 1.0), t)
+    t = jnp.where(ok, (k - o_ax) / jnp.where(ok, d_ax, 1.0), t)
     p_obj = o_b + d_b * t
     au = jnp.where(axis == 0, 1, 0)
     av = jnp.where(axis == 2, 1, 2)
     pu = _axis_component(p_obj, au)
     pv = _axis_component(p_obj, av)
-    u = (pu - lo[:, 0]) / (hi[:, 0] - lo[:, 0])
-    v = (pv - lo[:, 1]) / (hi[:, 1] - lo[:, 1])
+    u = (pu - lo0) / (hi0 - lo0)
+    v = (pv - lo1) / (hi1 - lo1)
     one = jnp.ones_like(t)
     zero = jnp.zeros_like(t)
     n_obj = V3(
@@ -455,15 +472,17 @@ def _rect_record(scene, o, d, t, idx):
     )
     n_world = vec3.rotate(rows, n_obj)
     p_world = o + d * t
-    return t, p_world, n_world, scene.rect_mat[ii], u, v, u, v
+    return t, p_world, n_world, mat, u, v, u, v
 
 
 def _triangle_record(scene, o, d, t, idx):
     ii = jnp.clip(idx, 0, scene.n_triangles - 1)
-    v0 = _col3(scene.tri_v0, ii)
-    v1 = _col3(scene.tri_v1, ii)
-    v2 = _col3(scene.tri_v2, ii)
-    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, scene.tri_xf[ii], o, d)
+    look = Lookup(ii, scene.n_triangles)
+    v0 = look.v3(scene.tri_v0)
+    v1 = look.v3(scene.tri_v1)
+    v2 = look.v3(scene.tri_v2)
+    (xf,) = look(scene.tri_xf)
+    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     n = vec3.cross(v1 - v0, v2 - v0)
     # Differentiable t recompute from the plane equation.
     ndotd = vec3.dot(n, d_b)
@@ -478,19 +497,23 @@ def _triangle_record(scene, o, d, t, idx):
     u = vec3.dot(n, vec3.cross(v2 - v1, p_obj - v1)) / n2
     v = vec3.dot(n, vec3.cross(v0 - v2, p_obj - v2)) / n2
     w = 1.0 - u - v
-    uv0 = scene.tri_uv0[ii]
-    uv1 = scene.tri_uv1[ii]
-    uv2 = scene.tri_uv2[ii]
-    tu = u * uv0[:, 0] + v * uv1[:, 0] + w * uv2[:, 0]
-    tv = u * uv0[:, 1] + v * uv1[:, 1] + w * uv2[:, 1]
+    (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v, mat) = look(
+        scene.tri_uv0[:, 0], scene.tri_uv0[:, 1],
+        scene.tri_uv1[:, 0], scene.tri_uv1[:, 1],
+        scene.tri_uv2[:, 0], scene.tri_uv2[:, 1],
+        scene.tri_mat,
+    )
+    tu = u * uv0u + v * uv1u + w * uv2u
+    tv = u * uv0v + v * uv1v + w * uv2v
     # DIVERGENCE from reference: normalized normal (see module docstring).
     n_world = vec3.unit(vec3.rotate(rows, n))
     p_world = o + d * t
-    return t, p_world, n_world, scene.tri_mat[ii], u, v, tu, tv
+    return t, p_world, n_world, mat, u, v, tu, tv
 
 
 def _medium_record(scene, o, d, t, idx, u_media):
     ii = jnp.clip(idx, 0, scene.n_media - 1)
+    look = Lookup(ii, scene.n_media)
     # Differentiable t recompute: the free-flight distance is a smooth
     # function of the boundary interval and density given the (detached)
     # uniform, so gradients flow to boundary params and density.
@@ -502,13 +525,14 @@ def _medium_record(scene, o, d, t, idx, u_media):
         u = jnp.take_along_axis(u_media, ii[:, None], axis=1)[:, 0]
     else:
         u = jnp.zeros_like(t)
-    hd = scene.med_neg_inv_density[ii] * jnp.log(jnp.maximum(u, 1e-37))
+    (nid, mat) = look(scene.med_neg_inv_density, scene.med_mat)
+    hd = nid * jnp.log(jnp.maximum(u, 1e-37))
     t = r1 + hd / ray_len
     p_world = o + d * t
     # Arbitrary fixed normal and front_face=true (constant_medium.h:77-78).
     n = V3.full_like(t, 1.0, 0.0, 0.0)
     z = jnp.zeros_like(t)
-    return t, p_world, n, scene.med_mat[ii], z, z, z, z
+    return t, p_world, n, mat, z, z, z, z
 
 
 def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None) -> HitRecord:

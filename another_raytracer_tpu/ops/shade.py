@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from another_raytracer_tpu.models import scene as scene_lib
 from another_raytracer_tpu.ops import rng, vec3
+from another_raytracer_tpu.ops.gather import Lookup
 from another_raytracer_tpu.ops.intersect import HitRecord, _col3
 from another_raytracer_tpu.ops.vec3 import V3
 
@@ -106,8 +107,9 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
     every other primitive.
     """
     tid = jnp.clip(tex_ids, 0, scene.tex_kind.shape[0] - 1)
-    kind = scene.tex_kind[tid]
-    ca = _col3(scene.tex_ca, tid)
+    look = Lookup(tid, scene.tex_kind.shape[0])
+    (kind,) = look(scene.tex_kind)
+    ca = look.v3(scene.tex_ca)
 
     out = ca  # TEX_SOLID
 
@@ -117,7 +119,7 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
 
     if scene_lib.TEX_CHECKER in kinds:
         # Checker: sign of sin(10x)sin(10y)sin(10z) (texture.h:39-45).
-        cb = _col3(scene.tex_cb, tid)
+        cb = look.v3(scene.tex_cb)
         sines = jnp.sin(10.0 * p.x) * jnp.sin(10.0 * p.y) * jnp.sin(10.0 * p.z)
         out = vec3.where(
             (kind == scene_lib.TEX_CHECKER) & (sines < 0.0), cb, out
@@ -125,27 +127,28 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
 
     if scene_lib.TEX_NOISE in kinds:
         # Perlin: 0.5*(1+noise(scale*p)) grayscale (texture.h:57-59).
-        scale = scene.tex_scale[tid]
-        noise = perlin_noise(scene, scene.tex_aux[tid], p * scale)
+        (scale, aux) = look(scene.tex_scale, scene.tex_aux)
+        noise = perlin_noise(scene, aux, p * scale)
         gray = 0.5 * (1.0 + noise)
         out = vec3.where(kind == scene_lib.TEX_NOISE, V3(gray, gray, gray), out)
 
     if scene_lib.TEX_IMAGE in kinds:
         # Image: clamp u, flip v, nearest texel (texture.h:88-111).
-        img = jnp.clip(scene.tex_aux[tid], 0, scene.img_off.shape[0] - 1)
-        w = scene.img_w[img]
-        h = scene.img_h[img]
+        (aux_img,) = look(scene.tex_aux)
+        img = jnp.clip(aux_img, 0, scene.img_off.shape[0] - 1)
+        ilook = Lookup(img, scene.img_off.shape[0])
+        (w, h, off) = ilook(scene.img_w, scene.img_h, scene.img_off)
         cu = jnp.clip(tu, 0.0, 1.0)
         cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
         i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
         j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
-        texel = _col3(scene.atlas, scene.img_off[img] + j * w + i)
+        texel = _col3(scene.atlas, off + j * w + i)
         out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
 
     if scene_lib.TEX_BARYCENTRIC in kinds:
         # Barycentric color blend u*A + v*B + (1-u-v)*C (texture.h:121-133).
-        cb = _col3(scene.tex_cb, tid)
-        cc = _col3(scene.tex_cc, tid)
+        cb = look.v3(scene.tex_cb)
+        cc = look.v3(scene.tex_cc)
         bary = ca * u + cb * v + cc * (1.0 - u - v)
         out = vec3.where(kind == scene_lib.TEX_BARYCENTRIC, bary, out)
     return out
@@ -162,8 +165,9 @@ def emitted(scene, rec: HitRecord) -> V3:
     zero = jnp.zeros_like(rec.u)
     if scene.mat_kinds and scene_lib.MAT_DIFFUSE_LIGHT not in scene.mat_kinds:
         return V3(zero, zero, zero)
-    kind = scene.mat_kind[rec.mat]
-    emit = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
+    look = Lookup(rec.mat, scene.mat_kind.shape[0])
+    (kind, tex) = look(scene.mat_kind, scene.mat_tex)
+    emit = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
     return vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, emit, V3(zero, zero, zero))
 
 
@@ -173,7 +177,10 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     Returns (scatter_dir V3 — NOT normalized, matching the reference's
     un-normalized scattered rays; attenuation V3; scatter_ok [B]).
     """
-    kind = scene.mat_kind[rec.mat]
+    look = Lookup(rec.mat, scene.mat_kind.shape[0])
+    (kind, tex, fuzz, ir) = look(
+        scene.mat_kind, scene.mat_tex, scene.mat_fuzz, scene.mat_ir
+    )
     n = rec.normal
     kinds = scene.mat_kinds or tuple(range(5))
 
@@ -194,7 +201,6 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
 
     if scene_lib.MAT_METAL in kinds:
         # metal (material.h:52-55)
-        fuzz = scene.mat_fuzz[rec.mat]
         met_dir = vec3.reflect(unit_d, n) + rand_in_sphere * fuzz
         met_ok = vec3.dot(met_dir, n) > 0.0
         direction = vec3.where(kind == scene_lib.MAT_METAL, met_dir, direction)
@@ -202,7 +208,6 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
 
     if scene_lib.MAT_DIELECTRIC in kinds:
         # dielectric (material.h:70-99)
-        ir = scene.mat_ir[rec.mat]
         ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
         cos_theta = jnp.minimum(vec3.dot(-unit_d, n), 1.0)
         # 1e-12 floor: finite grad at grazing incidence (see vec3.refract).
@@ -220,7 +225,7 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     if scene_lib.MAT_ISOTROPIC in kinds:
         direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
 
-    albedo = texture_value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.tu, rec.tv, rec.p)
+    albedo = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
     attenuation = albedo
     if scene_lib.MAT_DIELECTRIC in kinds:
         one = jnp.ones_like(u1)
