@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 
 
 @dataclasses.dataclass

@@ -149,6 +149,10 @@ class SceneData:
     bvh_leaf_first: jnp.ndarray  # [M] int32
     bvh_leaf_count: jnp.ndarray  # [M] int32
     bvh_prim_order: jnp.ndarray  # [Nt] int32
+    # Pallas packet-traversal packing (ops/pallas/bvh_kernel.py): nodes as
+    # [M,8] f32 rows, triangles leaf-ordered as [N+pad,16] f32 rows.
+    bvh_packed_nodes: jnp.ndarray  # [M,8]
+    bvh_packed_tris: jnp.ndarray  # [N+pad,16]
 
     # --- static (non-pytree) metadata -------------------------------------
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)
@@ -161,6 +165,9 @@ class SceneData:
     # Perlin-noise gathers or dielectric refraction math).
     mat_kinds: tuple = flax.struct.field(pytree_node=False, default=())
     tex_kinds: tuple = flax.struct.field(pytree_node=False, default=())
+    # Use the Pallas packet-traversal kernel for the triangle BVH (set at
+    # build time; static so it keys the jit cache).
+    use_pallas_bvh: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_primitives(self) -> int:
@@ -364,7 +371,7 @@ class SceneBuilder:
     # Build a triangle BVH when the mesh is at least this large ('auto').
     BVH_AUTO_THRESHOLD = 64
 
-    def build(self, dtype=jnp.float32, bvh="auto") -> SceneData:
+    def build(self, dtype=jnp.float32, bvh="auto", pallas_bvh="auto") -> SceneData:
         f = lambda x, shape: (  # noqa: E731
             jnp.asarray(np.asarray(x, np.float64).reshape(shape), dtype)
         )
@@ -415,13 +422,18 @@ class SceneBuilder:
         # sets fall back to the linear path.
         want_bvh = (bvh is True) or (bvh == "auto" and nt >= self.BVH_AUTO_THRESHOLD)
         tri_xf_all_identity = nt == 0 or all(int(x[7]) == 0 for x in self._tris)
+        use_pallas = False
         if want_bvh and nt > 0 and tri_xf_all_identity:
+            import jax as _jax
+
             from another_raytracer_tpu.models import bvh as bvh_lib
+            from another_raytracer_tpu.ops.pallas import bvh_kernel
 
             v0 = np.stack(tri[0]).reshape(nt, 3)
             v1 = np.stack(tri[1]).reshape(nt, 3)
             v2 = np.stack(tri[2]).reshape(nt, 3)
             tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2))
+            packed_nodes, packed_tris = bvh_kernel.pack_bvh(tree, v0, v1, v2)
             bvh_arrays = dict(
                 bvh_node_min=f(tree.node_min, tree.node_min.shape),
                 bvh_node_max=f(tree.node_max, tree.node_max.shape),
@@ -429,14 +441,24 @@ class SceneBuilder:
                 bvh_leaf_first=jnp.asarray(tree.leaf_first),
                 bvh_leaf_count=jnp.asarray(tree.leaf_count),
                 bvh_prim_order=jnp.asarray(tree.prim_order),
+                bvh_packed_nodes=jnp.asarray(packed_nodes),
+                bvh_packed_tris=jnp.asarray(packed_tris),
             )
             n_bvh = tree.num_nodes
+            if pallas_bvh == "auto":
+                # The Mosaic kernel targets real TPUs; the XLA lockstep
+                # traversal serves CPU runs (interpret mode is debug-only).
+                use_pallas = _jax.default_backend() not in ("cpu",)
+            else:
+                use_pallas = bool(pallas_bvh)
         else:
             z3 = jnp.zeros((0, 3), dtype)
             zi = jnp.zeros((0,), jnp.int32)
             bvh_arrays = dict(
                 bvh_node_min=z3, bvh_node_max=z3, bvh_escape=zi,
                 bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
+                bvh_packed_nodes=jnp.zeros((0, 8), dtype),
+                bvh_packed_tris=jnp.zeros((0, 16), dtype),
             )
             n_bvh = 0
 
@@ -473,4 +495,5 @@ class SceneBuilder:
             n_bvh_nodes=n_bvh,
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),
+            use_pallas_bvh=use_pallas,
         )

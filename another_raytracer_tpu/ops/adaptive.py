@@ -34,7 +34,14 @@ from another_raytracer_tpu.ops import camera as camera_lib  # noqa: F401 (API su
 from another_raytracer_tpu.ops import render as render_lib
 
 SUBDIVIDE_THRESH = 100  # engine.h:98
-MIN_BUCKET = 1024
+
+
+def _min_bucket() -> int:
+    """Pixel-batch bucket floor.  On TPU each distinct bucket size is a
+    separate (minutes-long, remote) compile; a large floor collapses the
+    levels into 1-2 compiled shapes at negligible padding cost.  On CPU keep
+    buckets small for fast tests."""
+    return 1024 if jax.default_backend() == "cpu" else 32768
 
 
 @partial(
@@ -51,7 +58,7 @@ def _trace_pixels(scene, cam, pixel_ids, seed, *, width, height, spp,
 
 
 def _bucket(n: int) -> int:
-    b = MIN_BUCKET
+    b = _min_bucket()
     while b < n:
         b *= 2
     return b

@@ -19,6 +19,7 @@ tables) it falls back to real gathers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MAX_ONEHOT_K = 512
@@ -47,7 +48,13 @@ class Lookup:
         stacked = jnp.stack(
             [c.astype(jnp.float32) for c in columns], axis=1
         )  # [K, C]
-        out = jnp.dot(self.onehot, stacked, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the TPU MXU's default single-pass bf16 matmul
+        # would round table values (e.g. 555 -> 556) — with an exact 0/1
+        # one-hot the 3-pass decomposition reconstructs f32 exactly.
+        out = jnp.dot(
+            self.onehot, stacked, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return tuple(
             out[:, i].astype(c.dtype) for i, c in enumerate(columns)
         )

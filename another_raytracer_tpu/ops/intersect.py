@@ -373,10 +373,18 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
         )
     if scene.n_triangles:
         if scene.n_bvh_nodes:
-            from another_raytracer_tpu.ops import bvh as bvh_ops
-
             bt, bk, bi = best
-            t, idx, improved = bvh_ops.traverse_triangles(scene, o, d, t_min, bt, bi)
+            if scene.use_pallas_bvh:
+                from another_raytracer_tpu.ops.pallas import bvh_kernel
+
+                t, idx, improved = bvh_kernel.bvh_closest_hit(
+                    scene.bvh_packed_nodes, scene.bvh_packed_tris,
+                    o, d, bt, bi, t_min=t_min if isinstance(t_min, float) else 1e-3,
+                )
+            else:
+                from another_raytracer_tpu.ops import bvh as bvh_ops
+
+                t, idx, improved = bvh_ops.traverse_triangles(scene, o, d, t_min, bt, bi)
             best = (t, jnp.where(improved, scene_lib.PRIM_TRIANGLE, bk), idx)
         else:
             best = _scan_kind(

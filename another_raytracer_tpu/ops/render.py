@@ -13,6 +13,7 @@ of those reuse.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -73,6 +74,33 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     return acc, segments
 
 
+@functools.lru_cache(maxsize=32)
+def morton_order(width: int, height: int):
+    """Z-order (Morton) pixel traversal for a WxH image.
+
+    Returns (order, inverse) uint32 arrays: ``order[k]`` is the flat pixel id
+    of the k-th ray.  Scanline order makes a ray batch a long thin strip;
+    Morton order makes it a compact square tile, which is what the packet
+    BVH kernel (ops/pallas/bvh_kernel.py) needs for its shared-traversal
+    skipping to bite, and also gives sharded tiles spatial locality.
+    Radiance is unaffected: the RNG keys on absolute pixel ids.
+    """
+    def part1by1(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    gx, gy = np.meshgrid(np.arange(width, dtype=np.uint32),
+                         np.arange(height, dtype=np.uint32))
+    code = part1by1(gx) | (part1by1(gy) << np.uint32(1))
+    order = np.argsort(code.ravel(), kind="stable").astype(np.uint32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0], dtype=np.uint32)
+    return order, inv
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "samples_per_pass", "max_depth",
@@ -82,17 +110,20 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
                     max_depth, t_min, differentiable=False):
     """Per-pixel radiance sums over ``spp`` samples.
 
-    Returns (radiance_sum V3 of [H*W], segments [] int32).  The sum is
-    un-averaged, exactly like ``_stochastic_sample`` returning the raw sample
-    sum (engine.h:58-68) with averaging deferred to write_color.
+    Returns (radiance_sum V3 of [H*W] in flat pixel order, segments int32).
+    The sum is un-averaged, exactly like ``_stochastic_sample`` returning the
+    raw sample sum (engine.h:58-68) with averaging deferred to write_color.
+    Rays are traced in Morton order internally (see morton_order).
     """
-    pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
-    return radiance_batch(
-        scene, cam, pixel_ids, seed, width=width, height=height,
+    order, inv = morton_order(width, height)
+    acc, segments = radiance_batch(
+        scene, cam, jnp.asarray(order), seed, width=width, height=height,
         sample_start=0, n_samples=spp, spp_cap=spp,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
         differentiable=differentiable,
     )
+    inv_j = jnp.asarray(inv)
+    return acc.map(lambda c: c[inv_j]), segments
 
 
 def render(scene, cam, config: RenderConfig):
@@ -102,6 +133,10 @@ def render(scene, cam, config: RenderConfig):
     bounce-ray count, unlike the reference's nominal primary-only kRay/s
     metric at main.cpp:50-53).
     """
+    # Empty-scene guard (reference: engine.h:32-36 prints an error and
+    # returns -1; here it raises).
+    if scene.num_primitives == 0:
+        raise ValueError("cannot render empty scene!")
     if config.mode in (RenderMode.PARALLEL_STRIPES, RenderMode.PARALLEL_IMAGES):
         from another_raytracer_tpu.parallel import sharding
         return sharding.render_sharded(scene, cam, config)

@@ -81,8 +81,10 @@ def render_radiance_sharded(scene, cam, seed, *, mesh: Mesh, width, height,
     n_spp = mesh.shape["spp"]
     n_pixels = width * height
 
-    pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
-    pixel_ids, real_n = _pad_to(pixel_ids, n_tile)
+    # Morton pixel order: each tile shard gets a compact spatial region and
+    # ray packets stay coherent (see render.morton_order).
+    order, inv = render_lib.morton_order(width, height)
+    pixel_ids, real_n = _pad_to(jnp.asarray(order), n_tile)
     spp_local = -(-spp // n_spp)
 
     def shard_fn(scene, cam, seed, pix_local):
@@ -112,7 +114,8 @@ def render_radiance_sharded(scene, cam, seed, *, mesh: Mesh, width, height,
         check_vma=False,
     )
     acc, segs = fn(scene, cam, seed, pixel_ids)
-    return acc.map(lambda c: c[:real_n]), segs
+    inv_j = jnp.asarray(inv)
+    return acc.map(lambda c: c[:real_n][inv_j]), segs
 
 
 def render_sharded(scene, cam, config: RenderConfig, mesh: Mesh = None):

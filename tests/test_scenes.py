@@ -61,3 +61,13 @@ def test_random_scene_deterministic_per_seed():
 def test_unknown_scene_raises():
     with pytest.raises(ValueError, match="unknown scene"):
         library.build(42)
+
+
+def test_empty_scene_raises():
+    from another_raytracer_tpu.models.scene import SceneBuilder
+    scene = SceneBuilder().build()
+    cfg = RenderConfig(width=12, height=12, samples_per_pixel=1, max_depth=1)
+    cam = camera_lib.make_camera(lookfrom=(0, 0, 1), lookat=(0, 0, 0), vfov=60,
+                                 aspect_ratio=1.0)
+    with pytest.raises(ValueError, match="empty scene"):
+        render_lib.render(scene, cam, cfg)
