@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="output.png")
     p.add_argument("--scene-seed", type=int, default=1234)
+    p.add_argument("--obj", default=None, metavar="PATH",
+                   help="mesh scene (9): render this .obj instead of the "
+                        "capsule (e.g. the reference's models/cow.obj or "
+                        "models/dino.obj; ressources.h.in:7-9)")
     p.add_argument("--preview", default=None, metavar="PNG",
                    help="write a live progress snapshot PNG between passes "
                         "(headless equivalent of the reference's dynamic_gui)")
@@ -50,7 +54,10 @@ def main(argv=None):
         max_depth=args.max_depth, seed=args.seed,
         samples_per_pass=args.samples_per_pass, mode=RenderMode(args.mode),
     )
-    scene, cam_params = library.build(args.scene, seed=args.scene_seed)
+    if args.obj is not None and args.scene == library.SceneAlias.MESH.value:
+        scene, cam_params = library.mesh_scene(seed=args.scene_seed, obj_path=args.obj)
+    else:
+        scene, cam_params = library.build(args.scene, seed=args.scene_seed)
     cam = camera_lib.make_camera(aspect_ratio=cfg.aspect_ratio, **cam_params)
 
     print(f"rendering scene {args.scene} at {cfg.width}x{cfg.height} "

@@ -191,9 +191,19 @@ def final_scene(seed: int = 1234):
     return b.build(), _cam((478, 278, -600), (278, 278, 0), 40.0)
 
 
+# Per-model camera presets from the reference's commented-out alternates
+# (scene_manager.cpp:334-342); the active capsule view is 344-346.
+_MESH_CAMERAS = {
+    "dino": ((0, 15, 25), (0, 10, 0)),
+    "cow": ((4, 2, 6), (2, 0, 0)),
+}
+
+
 def mesh_scene(seed: int = 1234, obj_path=None):
     """Textured capsule mesh + light + global mist (scene_manager.cpp:236-258,
     camera table 330-348)."""
+    from pathlib import Path
+
     b = SceneBuilder(background=SKY, seed=seed)
     path = obj_path or assets.capsule_obj_path()
     if path is None:
@@ -202,7 +212,8 @@ def mesh_scene(seed: int = 1234, obj_path=None):
     mesh_lib.add_to_builder(b, mesh)
     b.xz_rect(123, 423, 147, 412, 554, b.diffuse_light(color=(7, 7, 7)))
     b.constant_medium_sphere((0, 0, 0), 5000, 1e-4, color=(1, 1, 1))
-    return b.build(), _cam((2, 2, 1), (0, 0, 0), 75.0)
+    lookfrom, lookat = _MESH_CAMERAS.get(Path(path).stem, ((2, 2, 1), (0, 0, 0)))
+    return b.build(), _cam(lookfrom, lookat, 75.0)
 
 
 _BUILDERS = {

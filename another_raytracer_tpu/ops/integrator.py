@@ -91,12 +91,16 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min):
 
 
 def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int,
-          t_min: float, differentiable: bool = False):
+          t_min: float, differentiable: bool = False, remat: bool = False):
     """Trace a ray batch to completion.
 
     Returns (radiance V3 of [B], segments [] int32 — total alive ray
     segments summed over bounces, the honest bounce-ray count for rays/s
     metrics).
+
+    ``remat``: rematerialize each bounce in the backward pass instead of
+    storing its residuals (trades recompute FLOPs for HBM traffic; only
+    meaningful with ``differentiable=True``).
     """
     B = o.x.shape[0]
     ones = jnp.ones((B,), o.x.dtype)
@@ -109,8 +113,14 @@ def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int
     )
 
     if differentiable:
+        step = _bounce
+        if remat:
+            step = jax.checkpoint(
+                _bounce, static_argnums=(), policy=jax.checkpoint_policies.nothing_saveable
+            )
+
         def body(c, bounce):
-            return _bounce(scene, c, bounce, pixel_ids, sample_ids, seed, t_min), None
+            return step(scene, c, bounce, pixel_ids, sample_ids, seed, t_min), None
         carry, _ = jax.lax.scan(body, carry, jnp.arange(max_depth, dtype=jnp.uint32))
     else:
         def cond(state):

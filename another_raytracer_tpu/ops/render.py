@@ -28,7 +28,7 @@ from another_raytracer_tpu.ops import integrator
 
 def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
                    sample_start, n_samples, spp_cap, samples_per_pass,
-                   max_depth, t_min, differentiable=False):
+                   max_depth, t_min, differentiable=False, remat=False):
     """Radiance sums for an arbitrary pixel batch over samples
     [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
 
@@ -56,7 +56,7 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         o, d, time = camera_lib.generate_rays(cam, pix, sample_ids, width, height, seed)
         radiance, segs = integrator.trace(
             scene, o, d, time, pix, sample_ids, seed, max_depth, t_min,
-            differentiable=differentiable,
+            differentiable=differentiable, remat=remat,
         )
         # Mask samples beyond the range (ragged last chunk / spp cap).
         valid = (sample_ids < jnp.uint32(sample_start) + n_samples) & (sample_ids < spp_cap)
