@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--spp", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=50)
-    p.add_argument("--samples-per-pass", type=int, default=4)
+    p.add_argument("--samples-per-pass", type=int, default=1)
     p.add_argument("--mode", choices=[m.value for m in RenderMode],
                    default=RenderMode.ADAPTIVE.value,
                    help="render mode (default adaptive, matching main.cpp:44)")

@@ -50,8 +50,11 @@ class RenderConfig:
     t_min: float = 1e-3
     # Number of samples traced per fused device pass; the sample loop is a
     # lax.scan over ceil(spp / samples_per_pass) passes.  Memory per pass is
-    # O(width*height*samples_per_pass).
-    samples_per_pass: int = 4
+    # O(width*height*samples_per_pass).  Measured on v5e (Cornell 360x270):
+    # ~100k rays/pass is the sweet spot — spass=1 beat spass=4 by 1.6x on
+    # fwd+bwd (smaller live set; fusions stop spilling), while splitting the
+    # pixel axis below ~100k rays lost to scan overhead.
+    samples_per_pass: int = 1
     # Adaptive mode parameters (reference: engine.h:96-333).
     adaptive_tile: int = 12
     adaptive_threshold: float = 100.0

@@ -45,7 +45,8 @@ def merge_params(scene, params):
 
 
 def render_loss(params, scene, cam, target, seed, *, width, height, spp,
-                samples_per_pass, max_depth, t_min, remat=False):
+                samples_per_pass, max_depth, t_min, remat=False, unroll=1,
+                chunk_unroll=1):
     """L2 loss between the rendered radiance mean and a target image
     (linear radiance, [H*W, 3])."""
     s = merge_params(scene, params)
@@ -53,7 +54,8 @@ def render_loss(params, scene, cam, target, seed, *, width, height, spp,
         s, cam, jnp.arange(width * height, dtype=jnp.uint32), seed,
         width=width, height=height, sample_start=0, n_samples=spp,
         spp_cap=spp, samples_per_pass=samples_per_pass, max_depth=max_depth,
-        t_min=t_min, differentiable=True, remat=remat,
+        t_min=t_min, differentiable=True, remat=remat, unroll=unroll,
+        chunk_unroll=chunk_unroll,
     )
     inv = 1.0 / spp
     return (

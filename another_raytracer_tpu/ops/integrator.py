@@ -50,8 +50,15 @@ def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
     return jnp.stack(cols, axis=-1)
 
 
-def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min):
-    """One wavefront bounce; returns the updated carry."""
+def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=False):
+    """One wavefront bounce; returns the updated carry.
+
+    ``remat``: rematerialize the shading stage (winner recompute + textures
+    + scatter) in the backward pass.  The stage is a cheap pure function of
+    (o, d, t, kind, idx), so checkpointing it shrinks the per-bounce scan
+    residuals to roughly that tuple — profiling showed residual
+    dynamic-update-slice stacking at ~28% of the fwd+bwd step.
+    """
     o, d, time, throughput, radiance, alive, segments = carry
 
     u_media = _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed)
@@ -72,35 +79,45 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min):
         miss_now, throughput * bg, V3.zeros(miss_now.shape)
     )
 
-    rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media)
+    def shade_hit(scene, o, d, time, t, kind, idx, u_media):
+        rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media)
+        # Emission accumulates for every live hit (engine.h:460-465).
+        emit = shade.emitted(scene, rec)
+        new_dir, attenuation, scatter_ok = shade.scatter(
+            scene, rec, d, pixel_ids, sample_ids, bounce, seed
+        )
+        return emit, rec.p, new_dir, attenuation, scatter_ok
 
-    # Emission accumulates for every live hit (engine.h:460-465).
-    emit = shade.emitted(scene, rec)
+    if remat:
+        shade_hit = jax.checkpoint(shade_hit)
+    emit, hit_p, new_dir, attenuation, scatter_ok = shade_hit(
+        scene, o, d, time, t, kind, idx, u_media
+    )
+
     live_hit = alive & hit
     radiance = radiance + vec3.where(live_hit, throughput * emit, V3.zeros(miss_now.shape))
 
-    new_dir, attenuation, scatter_ok = shade.scatter(
-        scene, rec, d, pixel_ids, sample_ids, bounce, seed
-    )
     alive = live_hit & scatter_ok
     throughput = vec3.where(alive, throughput * attenuation, throughput)
-    o = vec3.where(alive, rec.p, o)
+    o = vec3.where(alive, hit_p, o)
     d = vec3.where(alive, new_dir, d)
     segments = segments + jnp.sum(alive.astype(jnp.int32))
     return (o, d, time, throughput, radiance, alive, segments)
 
 
 def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int,
-          t_min: float, differentiable: bool = False, remat: bool = False):
+          t_min: float, differentiable: bool = False, remat: bool = False,
+          unroll: int = 1):
     """Trace a ray batch to completion.
 
     Returns (radiance V3 of [B], segments [] int32 — total alive ray
     segments summed over bounces, the honest bounce-ray count for rays/s
     metrics).
 
-    ``remat``: rematerialize each bounce in the backward pass instead of
-    storing its residuals (trades recompute FLOPs for HBM traffic; only
-    meaningful with ``differentiable=True``).
+    ``remat``: rematerialize each bounce's shading stage in the backward
+    pass instead of storing its residuals (trades a small recompute for
+    per-bounce residual HBM traffic; only meaningful with
+    ``differentiable=True``).
     """
     B = o.x.shape[0]
     ones = jnp.ones((B,), o.x.dtype)
@@ -113,15 +130,11 @@ def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int
     )
 
     if differentiable:
-        step = _bounce
-        if remat:
-            step = jax.checkpoint(
-                _bounce, static_argnums=(), policy=jax.checkpoint_policies.nothing_saveable
-            )
-
         def body(c, bounce):
-            return step(scene, c, bounce, pixel_ids, sample_ids, seed, t_min), None
-        carry, _ = jax.lax.scan(body, carry, jnp.arange(max_depth, dtype=jnp.uint32))
+            return _bounce(scene, c, bounce, pixel_ids, sample_ids, seed, t_min,
+                           remat=remat), None
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(max_depth, dtype=jnp.uint32),
+                                unroll=unroll)
     else:
         def cond(state):
             bounce, c = state

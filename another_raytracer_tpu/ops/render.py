@@ -28,7 +28,8 @@ from another_raytracer_tpu.ops import integrator
 
 def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
                    sample_start, n_samples, spp_cap, samples_per_pass,
-                   max_depth, t_min, differentiable=False, remat=False):
+                   max_depth, t_min, differentiable=False, remat=False,
+                   unroll=1, chunk_unroll=1):
     """Radiance sums for an arbitrary pixel batch over samples
     [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
 
@@ -56,7 +57,7 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         o, d, time = camera_lib.generate_rays(cam, pix, sample_ids, width, height, seed)
         radiance, segs = integrator.trace(
             scene, o, d, time, pix, sample_ids, seed, max_depth, t_min,
-            differentiable=differentiable, remat=remat,
+            differentiable=differentiable, remat=remat, unroll=unroll,
         )
         # Mask samples beyond the range (ragged last chunk / spp cap).
         valid = (sample_ids < jnp.uint32(sample_start) + n_samples) & (sample_ids < spp_cap)
@@ -69,7 +70,8 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         (acc, segments), _ = one_pass(init, jnp.uint32(0))
     else:
         (acc, segments), _ = jax.lax.scan(
-            init=init, xs=jnp.arange(n_chunks, dtype=jnp.uint32), f=one_pass
+            init=init, xs=jnp.arange(n_chunks, dtype=jnp.uint32), f=one_pass,
+            unroll=chunk_unroll,
         )
     return acc, segments
 
@@ -113,17 +115,29 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
     Returns (radiance_sum V3 of [H*W] in flat pixel order, segments int32).
     The sum is un-averaged, exactly like ``_stochastic_sample`` returning the
     raw sample sum (engine.h:58-68) with averaging deferred to write_color.
-    Rays are traced in Morton order internally (see morton_order).
+
+    Rays are traced in Morton order only when the scene has a triangle BVH
+    (the packet kernel's shared-traversal skipping needs spatially coherent
+    blocks; see morton_order).  For sweep-only scenes Morton buys nothing
+    and the inverse-permutation gather back to scanline order costs ~10% of
+    a Cornell forward pass, so it is skipped; radiance is identical either
+    way (RNG keys on absolute pixel ids).
     """
-    order, inv = morton_order(width, height)
+    if scene.n_bvh_nodes:
+        order, inv = morton_order(width, height)
+        pixel_ids = jnp.asarray(order)
+    else:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
     acc, segments = radiance_batch(
-        scene, cam, jnp.asarray(order), seed, width=width, height=height,
+        scene, cam, pixel_ids, seed, width=width, height=height,
         sample_start=0, n_samples=spp, spp_cap=spp,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
         differentiable=differentiable,
     )
-    inv_j = jnp.asarray(inv)
-    return acc.map(lambda c: c[inv_j]), segments
+    if scene.n_bvh_nodes:
+        inv_j = jnp.asarray(inv)
+        acc = acc.map(lambda c: c[inv_j])
+    return acc, segments
 
 
 def render(scene, cam, config: RenderConfig):

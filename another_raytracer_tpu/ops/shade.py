@@ -185,11 +185,16 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     kinds = scene.mat_kinds or tuple(range(5))
 
     u1, u2 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_A)
-    u3, u4 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_B)
 
     rand_unit = vec3.unit_vector_from_uniforms(u1, u2)
     need_sphere = (scene_lib.MAT_METAL in kinds) or (scene_lib.MAT_ISOTROPIC in kinds)
     need_unit_d = (scene_lib.MAT_METAL in kinds) or (scene_lib.MAT_DIELECTRIC in kinds)
+    # Lanes 2,3 feed only the unit-ball radius (metal fuzz / isotropic) and
+    # the dielectric reflectance coin; a lambertian/light-only scene (e.g.
+    # the Cornell box) skips that threefry block entirely.  Lane assignments
+    # are fixed per purpose, so gating never shifts other draws.
+    if need_sphere or (scene_lib.MAT_DIELECTRIC in kinds):
+        u3, u4 = rng.uniform2(seed, pixel_ids, sample_ids, bounce, rng.DIM_SCATTER_B)
     rand_in_sphere = rand_unit * jnp.cbrt(u3) if need_sphere else rand_unit
     unit_d = vec3.unit(d_in) if need_unit_d else d_in
 

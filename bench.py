@@ -29,7 +29,7 @@ def main():
     from another_raytracer_tpu.ops import render as render_lib
 
     width, height, spp, depth = 360, 270, 16, 8
-    spass = 4
+    spass = 1
 
     scene, cam_params = library.cornell_box()
     cam = camera_lib.make_camera(aspect_ratio=width / height, **cam_params)
