@@ -168,6 +168,11 @@ class SceneData:
     # Use the Pallas packet-traversal kernel for the triangle BVH (set at
     # build time; static so it keys the jit cache).
     use_pallas_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    # Any motion-blurred (moving) sphere present?  When False, ray time
+    # cannot affect radiance, so the camera skips the shutter-time threefry
+    # draw (draws are keyed per-purpose lanes; skipping one never shifts
+    # another).
+    has_motion: bool = flax.struct.field(pytree_node=False, default=True)
 
     @property
     def num_primitives(self) -> int:
@@ -496,4 +501,7 @@ class SceneBuilder:
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),
             use_pallas_bvh=use_pallas,
+            has_motion=ns > 0 and not np.array_equal(
+                np.asarray(sph[0]), np.asarray(sph[1])
+            ),
         )

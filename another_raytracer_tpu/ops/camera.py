@@ -35,6 +35,12 @@ class Camera:
     lens_radius: jnp.ndarray  # [] scalar
     time0: jnp.ndarray  # [] shutter open
     time1: jnp.ndarray  # [] shutter close
+    # Static metadata (not traced): lets generate_rays skip the lens-disk /
+    # shutter-time threefry blocks entirely for pinhole cameras and
+    # zero-length shutters.  Draws are keyed per-purpose lanes, so skipping
+    # one never shifts another — gated renders are bit-identical.
+    has_lens: bool = flax.struct.field(pytree_node=False, default=True)
+    has_time: bool = flax.struct.field(pytree_node=False, default=True)
 
 
 def make_camera(
@@ -82,10 +88,13 @@ def make_camera(
         lens_radius=jnp.asarray(aperture / 2.0, dtype),
         time0=jnp.asarray(time0, dtype),
         time1=jnp.asarray(time1, dtype),
+        has_lens=float(aperture) != 0.0,
+        has_time=float(time1) != float(time0),
     )
 
 
-def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, seed):
+def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, seed,
+                  needs_time: "bool | None" = None):
     """Batched primary-ray generation.
 
     Args:
@@ -108,24 +117,38 @@ def generate_rays(cam: Camera, pixel_ids, sample_ids, width: int, height: int, s
     j = (pixel_ids // jnp.uint32(width)).astype(jnp.float32)
 
     ju, jv = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_PIXEL_JITTER)
-    lu, lv = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_LENS)
-    tu, _ = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_TIME)
 
     s = (i + ju) / jnp.float32(width - 1)
     t = (jnp.float32(height - 1) - j + jv) / jnp.float32(height - 1)
 
-    rdx, rdy = vec3.in_unit_disk_from_uniforms(lu, lv)
-    rdx = cam.lens_radius * rdx
-    rdy = cam.lens_radius * rdy
-    cu = V3.from_array(cam.u)  # scalar components
-    cv = V3.from_array(cam.v)
-    offset = cu * rdx + cv * rdy
-
     cam_origin = V3.from_array(cam.origin)
-    origin = offset + cam_origin
     base = V3.from_array(cam.lower_left - cam.origin)
     hor = V3.from_array(cam.horizontal)
     ver = V3.from_array(cam.vertical)
-    direction = base + hor * s + ver * t - offset
-    time = cam.time0 + tu * (cam.time1 - cam.time0)
+
+    if cam.has_lens:
+        # Defocus: lens-disk origin jitter (camera.h:38-43).
+        lu, lv = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_LENS)
+        rdx, rdy = vec3.in_unit_disk_from_uniforms(lu, lv)
+        rdx = cam.lens_radius * rdx
+        rdy = cam.lens_radius * rdy
+        cu = V3.from_array(cam.u)  # scalar components
+        cv = V3.from_array(cam.v)
+        offset = cu * rdx + cv * rdy
+        origin = offset + cam_origin
+        direction = base + hor * s + ver * t - offset
+    else:
+        # Pinhole: offset == 0 exactly; broadcast the shared origin to [B].
+        origin = cam_origin + V3.zeros(s.shape, s.dtype)
+        direction = base + hor * s + ver * t
+
+    if needs_time is None:
+        needs_time = cam.has_time
+    if cam.has_time and needs_time:
+        tu, _ = rng.uniform2(seed, pixel_ids, sample_ids, rng.CAMERA_BOUNCE, rng.DIM_TIME)
+        time = cam.time0 + tu * (cam.time1 - cam.time0)
+    else:
+        # Zero-length shutter, or the caller knows nothing in the scene reads
+        # ray time (scene.has_motion False): the draw cannot affect radiance.
+        time = jnp.broadcast_to(cam.time0, s.shape)
     return origin, direction, time

@@ -36,6 +36,11 @@ import jax.numpy as jnp
 from another_raytracer_tpu.ops import intersect, rng, shade, vec3
 from another_raytracer_tpu.ops.vec3 import V3
 
+# Trace-time knob for A/B benchmarking only (scripts/ab_fuse_rng.py): False
+# restores the separate emitted()+scatter() calls (two material-table
+# lookups + two texture evaluations per bounce).
+FUSE_SHADE = True
+
 
 def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
     """One uniform per (ray, medium) for free-flight sampling; lanes
@@ -81,11 +86,17 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
 
     def shade_hit(scene, o, d, time, t, kind, idx, u_media):
         rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media)
-        # Emission accumulates for every live hit (engine.h:460-465).
-        emit = shade.emitted(scene, rec)
-        new_dir, attenuation, scatter_ok = shade.scatter(
-            scene, rec, d, pixel_ids, sample_ids, bounce, seed
-        )
+        # Emission accumulates for every live hit (engine.h:460-465); fused
+        # with scatter so the material table and texture are read once.
+        if FUSE_SHADE:
+            emit, new_dir, attenuation, scatter_ok = shade.emit_and_scatter(
+                scene, rec, d, pixel_ids, sample_ids, bounce, seed
+            )
+        else:
+            emit = shade.emitted(scene, rec)
+            new_dir, attenuation, scatter_ok = shade.scatter(
+                scene, rec, d, pixel_ids, sample_ids, bounce, seed
+            )
         return emit, rec.p, new_dir, attenuation, scatter_ok
 
     if remat:

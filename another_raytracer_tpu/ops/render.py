@@ -54,7 +54,10 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     def one_pass(carry, chunk):
         acc, segments = carry
         sample_ids = samp_offsets + sample_start + chunk * spass
-        o, d, time = camera_lib.generate_rays(cam, pix, sample_ids, width, height, seed)
+        o, d, time = camera_lib.generate_rays(
+            cam, pix, sample_ids, width, height, seed,
+            needs_time=scene.has_motion,
+        )
         radiance, segs = integrator.trace(
             scene, o, d, time, pix, sample_ids, seed, max_depth, t_min,
             differentiable=differentiable, remat=remat, unroll=unroll,

@@ -177,6 +177,24 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     Returns (scatter_dir V3 — NOT normalized, matching the reference's
     un-normalized scattered rays; attenuation V3; scatter_ok [B]).
     """
+    _, direction, attenuation, ok = emit_and_scatter(
+        scene, rec, d_in, pixel_ids, sample_ids, bounce, seed
+    )
+    return direction, attenuation, ok
+
+
+def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed):
+    """Fused ``emitted`` + ``scatter`` for one bounce.
+
+    The reference evaluates ``mat->emitted`` then ``mat->scatter`` on the
+    same hit record (engine.h:460-465); both read the material's single
+    texture (emission for diffuse_light, albedo for everything else), so one
+    material-table Lookup and one texture evaluation serve both — half the
+    per-bounce table/texture work of calling them separately.
+
+    Returns (emit V3, scatter_dir V3 — NOT normalized, matching the
+    reference's un-normalized scattered rays; attenuation V3; scatter_ok [B]).
+    """
     look = Lookup(rec.mat, scene.mat_kind.shape[0])
     (kind, tex, fuzz, ir) = look(
         scene.mat_kind, scene.mat_tex, scene.mat_fuzz, scene.mat_ir
@@ -230,13 +248,17 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed
     if scene_lib.MAT_ISOTROPIC in kinds:
         direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
 
-    albedo = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
-    attenuation = albedo
+    tex_val = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
+    attenuation = tex_val
     if scene_lib.MAT_DIELECTRIC in kinds:
         one = jnp.ones_like(u1)
         attenuation = vec3.where(
             kind == scene_lib.MAT_DIELECTRIC, V3(one, one, one), attenuation
         )
+    zero = jnp.zeros_like(u1)
+    emit = V3(zero, zero, zero)
     if scene_lib.MAT_DIFFUSE_LIGHT in kinds:
         ok = jnp.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, False, ok)
-    return direction, attenuation, ok
+        # diffuse_light emits its texture (material.h:112-114).
+        emit = vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, tex_val, emit)
+    return emit, direction, attenuation, ok

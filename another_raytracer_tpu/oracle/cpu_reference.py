@@ -28,7 +28,10 @@ def _rotl(x, r):
     return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
 
 
-def threefry2x32(k0, k1, x0, x1):
+def threefry2x32(k0, k1, x0, x1, rounds: int = rng_lib.ROUNDS):
+    """Random123-semantics threefry-2x32 (see ops/rng.py): key injection
+    after each complete 4-round group, rotation schedule cycling mod 8.
+    Defaults to the same round count as the device RNG."""
     with np.errstate(over="ignore"):
         k0 = np.uint32(k0) + np.zeros_like(np.asarray(x0, np.uint32))
         k1 = np.uint32(k1) + np.zeros_like(k0)
@@ -38,15 +41,14 @@ def threefry2x32(k0, k1, x0, x1):
         keys = (k0, k1, ks2)
         x0 = x0 + k0
         x1 = x1 + k1
-        for group in range(5):
-            rots = rng_lib._ROTATIONS[:4] if group % 2 == 0 else rng_lib._ROTATIONS[4:]
-            for r in rots:
-                x0 = x0 + x1
-                x1 = _rotl(x1, r)
-                x1 = x0 ^ x1
-            inject = group + 1
-            x0 = x0 + keys[inject % 3]
-            x1 = x1 + keys[(inject + 1) % 3] + np.uint32(inject)
+        for r in range(rounds):
+            x0 = x0 + x1
+            x1 = _rotl(x1, rng_lib._ROTATIONS[r % 8])
+            x1 = x0 ^ x1
+            if (r + 1) % 4 == 0:
+                inject = (r + 1) // 4
+                x0 = x0 + keys[inject % 3]
+                x1 = x1 + keys[(inject + 1) % 3] + np.uint32(inject)
     return x0, x1
 
 

@@ -8,21 +8,23 @@ from another_raytracer_tpu.oracle import cpu_reference as oracle
 
 
 def test_threefry_known_vectors():
-    # Random123 reference vectors for threefry2x32, 20 rounds.
+    # Random123 reference vectors for threefry2x32, 20 rounds (the rendering
+    # draws use rng.ROUNDS=13; the 20-round path pins the loop refactor to
+    # the published algorithm).
     x0, x1 = rng.threefry2x32(
-        jnp.uint32(0), jnp.uint32(0), jnp.uint32(0), jnp.uint32(0)
+        jnp.uint32(0), jnp.uint32(0), jnp.uint32(0), jnp.uint32(0), rounds=20
     )
     assert int(x0) == 0x6B200159 and int(x1) == 0x99BA4EFE
 
     x0, x1 = rng.threefry2x32(
         jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),
-        jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),
+        jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF), rounds=20,
     )
     assert int(x0) == 0x1CB996FC and int(x1) == 0xBB002BE7
 
     x0, x1 = rng.threefry2x32(
         jnp.uint32(0x13198A2E), jnp.uint32(0x03707344),
-        jnp.uint32(0x243F6A88), jnp.uint32(0x85A308D3),
+        jnp.uint32(0x243F6A88), jnp.uint32(0x85A308D3), rounds=20,
     )
     assert int(x0) == 0xC4923A9C and int(x1) == 0x483DF7A0
 
