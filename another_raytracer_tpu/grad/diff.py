@@ -45,7 +45,7 @@ def merge_params(scene, params):
 
 
 def render_loss(params, scene, cam, target, seed, *, width, height, spp,
-                samples_per_pass, max_depth, t_min, remat=False, unroll=1,
+                samples_per_pass, max_depth, t_min, remat=False, unroll=None,
                 chunk_unroll=1):
     """L2 loss between the rendered radiance mean and a target image
     (linear radiance, [H*W, 3])."""

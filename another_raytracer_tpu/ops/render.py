@@ -29,7 +29,7 @@ from another_raytracer_tpu.ops import integrator
 def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
                    sample_start, n_samples, spp_cap, samples_per_pass,
                    max_depth, t_min, differentiable=False, remat=False,
-                   unroll=1, chunk_unroll=1):
+                   unroll=None, chunk_unroll=1):
     """Radiance sums for an arbitrary pixel batch over samples
     [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
 
