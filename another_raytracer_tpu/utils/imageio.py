@@ -24,12 +24,39 @@ def load_image(path) -> "np.ndarray | None":
         return None
 
 
+def _encode_png(img: "np.ndarray") -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB, zlib-deflated, no filtering).
+
+    Keeps PNG output self-contained like the reference's vendored
+    stb_image_write (SURVEY §2.7) — PIL is preferred for speed but never
+    required.
+    """
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def save_png(path, image_uint8) -> None:
     """Encode a [h, w, 3] uint8 array as PNG (reference: output.png,
-    main.cpp:57)."""
-    from PIL import Image
+    main.cpp:57).  Uses PIL when available, else the stdlib encoder."""
+    img = np.ascontiguousarray(np.asarray(image_uint8, np.uint8))
+    try:
+        from PIL import Image
 
-    Image.fromarray(np.asarray(image_uint8, np.uint8), "RGB").save(path)
+        Image.fromarray(img, "RGB").save(path)
+    except ImportError:
+        with open(path, "wb") as f:
+            f.write(_encode_png(img))
 
 
 def save_ppm(path, image_uint8) -> None:

@@ -1,0 +1,33 @@
+"""Host image IO: stdlib PNG fallback round-trips exactly.
+
+The reference ships its own PNG encoder (vendored stb_image_write); here
+PIL is an optional fast path and the stdlib zlib encoder the guarantee.
+"""
+
+import numpy as np
+
+from another_raytracer_tpu.utils import imageio
+
+
+def test_stdlib_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    with open(p, "wb") as f:
+        f.write(imageio._encode_png(img))
+    back = imageio.load_image(p)
+    assert back is not None
+    np.testing.assert_array_equal((back * 255.0).round().astype(np.uint8), img)
+
+
+def test_save_png_writes_decodable_file(tmp_path):
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[..., 1] = 200
+    p = tmp_path / "g.png"
+    imageio.save_png(p, img)
+    back = imageio.load_image(p)
+    np.testing.assert_array_equal((back * 255.0).round().astype(np.uint8), img)
+
+
+def test_load_missing_returns_none(tmp_path):
+    assert imageio.load_image(tmp_path / "nope.png") is None
