@@ -71,7 +71,7 @@ def _to_int_color(radiance_sum, spp):
     return (256.0 * np.clip(c, 0.0, 0.999)).astype(np.int64)
 
 
-def _heuristic(work, xs, ys, size):
+def _heuristic(work, xs, ys, size, thresh=SUBDIVIDE_THRESH):
     """Corner-difference subdivision test (engine.h:96-137) for squares with
     upper-left pixels (xs, ys) [vectorized]; returns bool array."""
     s = size - 1
@@ -83,10 +83,7 @@ def _heuristic(work, xs, ys, size):
     d2 = ((c2 - c4) ** 2).sum(-1)
     d3 = ((c4 - c3) ** 2).sum(-1)
     d4 = ((c3 - c1) ** 2).sum(-1)
-    return (
-        (d1 > SUBDIVIDE_THRESH) | (d2 > SUBDIVIDE_THRESH)
-        | (d3 > SUBDIVIDE_THRESH) | (d4 > SUBDIVIDE_THRESH)
-    )
+    return (d1 > thresh) | (d2 > thresh) | (d3 > thresh) | (d4 > thresh)
 
 
 def _interpolate_squares(work, xs, ys, size):
@@ -135,11 +132,18 @@ def render_adaptive(scene, cam, config: RenderConfig):
     traced = 0
 
     def eval_pixels(px, py):
-        """Trace (unique) pixels at full spp into the work frame."""
+        """Trace (unique, not-yet-evaluated) pixels at full spp into the work
+        frame.  The reference re-traces corners shared between levels
+        (evaluate_corners is unconditional, engine.h:222-232); with a
+        deterministic per-(pixel,sample) RNG a re-trace reproduces the same
+        value, so skipping it changes nothing but the work done."""
         nonlocal total_segments, traced
         if len(px) == 0:
             return
         flat = np.unique(py.astype(np.int64) * W + px.astype(np.int64))
+        flat = flat[work[flat // W, flat % W, 0] < 0]
+        if len(flat) == 0:
+            return
         traced += len(flat)
         b = _bucket(len(flat))
         padded = np.full(b, flat[0], np.uint32)
@@ -164,7 +168,8 @@ def render_adaptive(scene, cam, config: RenderConfig):
         by[:, None, None] + offs[None, None, :],
     )
     eval_pixels(cx.ravel(), cy.ravel())
-    sub_big = _heuristic(work, bx, by, big)
+    thresh = config.adaptive_threshold
+    sub_big = _heuristic(work, bx, by, big, thresh)
 
     # flat big squares -> interpolate now
     _interpolate_squares(work, bx[~sub_big], by[~sub_big], big)
@@ -179,7 +184,7 @@ def render_adaptive(scene, cam, config: RenderConfig):
         sy[:, None, None] + offs_m[None, None, :],
     )
     eval_pixels(cx.ravel(), cy.ravel())
-    sub_mid = _heuristic(work, sx, sy, mid) if len(sx) else np.zeros(0, bool)
+    sub_mid = _heuristic(work, sx, sy, mid, thresh) if len(sx) else np.zeros(0, bool)
     _interpolate_squares(work, sx[~sub_mid], sy[~sub_mid], mid)
 
     # --- level 2: small-square corners inside subdivided mids --------------
@@ -191,7 +196,7 @@ def render_adaptive(scene, cam, config: RenderConfig):
         ty[:, None, None] + offs_s[None, None, :],
     )
     eval_pixels(cx.ravel(), cy.ravel())
-    sub_small = _heuristic(work, tx, ty, small) if len(tx) else np.zeros(0, bool)
+    sub_small = _heuristic(work, tx, ty, small, thresh) if len(tx) else np.zeros(0, bool)
     _interpolate_squares(work, tx[~sub_small], ty[~sub_small], small)
 
     # --- level 3: exact trace of remaining pixels of subdivided smalls -----

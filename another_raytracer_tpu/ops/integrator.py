@@ -85,7 +85,8 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
     )
 
     def shade_hit(scene, o, d, time, t, kind, idx, u_media):
-        rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media)
+        rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media,
+                                        t_min=t_min)
         # Emission accumulates for every live hit (engine.h:460-465); fused
         # with scatter so the material table and texture are read once.
         if FUSE_SHADE:

@@ -519,7 +519,7 @@ def _triangle_record(scene, o, d, t, idx):
     return t, p_world, n_world, mat, u, v, tu, tv
 
 
-def _medium_record(scene, o, d, t, idx, u_media):
+def _medium_record(scene, o, d, t, idx, u_media, t_min):
     ii = jnp.clip(idx, 0, scene.n_media - 1)
     look = Lookup(ii, scene.n_media)
     # Differentiable t recompute: the free-flight distance is a smooth
@@ -527,7 +527,7 @@ def _medium_record(scene, o, d, t, idx, u_media):
     # uniform, so gradients flow to boundary params and density.
     t1, t2, _ = _medium_interval(scene, o, d)
     t1 = jnp.take_along_axis(t1, ii[:, None], axis=1)[:, 0]
-    r1 = jnp.maximum(jnp.maximum(t1, 1e-3), 0.0)
+    r1 = jnp.maximum(jnp.maximum(t1, t_min), 0.0)
     ray_len = vec3.length(d)
     if u_media.shape[1]:
         u = jnp.take_along_axis(u_media, ii[:, None], axis=1)[:, 0]
@@ -543,11 +543,14 @@ def _medium_record(scene, o, d, t, idx, u_media):
     return t, p_world, n, mat, z, z, z, z
 
 
-def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None) -> HitRecord:
+def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None,
+                    t_min=1e-3) -> HitRecord:
     """Reconstruct the full hit record for each ray's winning primitive.
 
     ``t`` is used only as a detached selection hint; each kind recomputes its
     own t differentiably, so callers may pass ``stop_gradient(t)``.
+    ``t_min`` must match the value used for winner selection — the medium
+    recompute clamps the boundary entry to it (constant_medium.h:57).
     """
     B = t.shape[0]
     z = jnp.zeros((B,), o.x.dtype)
@@ -576,7 +579,8 @@ def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None) -> Hi
     if scene.n_media:
         if u_media is None:
             u_media = jnp.zeros((B, scene.n_media), o.x.dtype)
-        merge(kind == scene_lib.PRIM_MEDIUM, _medium_record(scene, o, d, t, idx, u_media))
+        merge(kind == scene_lib.PRIM_MEDIUM,
+              _medium_record(scene, o, d, t, idx, u_media, t_min))
 
     is_medium = kind == scene_lib.PRIM_MEDIUM
     # set_face_normal (hittable.h:18-22); media force front=true with the

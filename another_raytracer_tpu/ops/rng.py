@@ -89,7 +89,7 @@ def uniform(seed, pixel, sample, bounce, dim):
 
 
 # --- RNG lane (dim) assignments -------------------------------------------
-# Camera draws happen before the bounce loop and use bounce = 0xFFFF00
+# Camera draws happen before the bounce loop and use bounce = 0xFF00
 # (outside the real bounce range).  Scatter draws use the bounce index.
 CAMERA_BOUNCE = 0xFF00
 DIM_PIXEL_JITTER = 0  # uses lanes 0,1 (sub-pixel jitter u, v)

@@ -13,14 +13,39 @@ import numpy as np
 
 def load_image(path) -> "np.ndarray | None":
     """Decode an image file to [h, w, 3] float64 in [0,1]; None on failure
-    (callers degrade to the cyan fallback texture, texture.h:91-92)."""
+    (callers degrade to the cyan fallback texture, texture.h:91-92).
+
+    The cyan fallback is the reference's contract for *missing* files only
+    (texture.h:91-92); its stb_image always decodes files that exist.  When a
+    present-on-disk file cannot be decoded here (no PIL, corrupt data), that
+    is a capability gap, not expected degradation — warn loudly instead of
+    silently rendering cyan.
+    """
+    import os
+    import warnings
+
+    exists = os.path.exists(path)
     try:
         from PIL import Image
-
+    except ImportError:
+        if exists:
+            warnings.warn(
+                f"image file {path!r} exists but PIL is unavailable; "
+                "falling back to the solid-cyan texture (the reference "
+                "would have decoded this file)",
+                RuntimeWarning, stacklevel=2,
+            )
+        return None
+    try:
         with Image.open(path) as im:
-            arr = np.asarray(im.convert("RGB"), np.float64) / 255.0
-        return arr
-    except Exception:
+            return np.asarray(im.convert("RGB"), np.float64) / 255.0
+    except Exception as e:
+        if exists:
+            warnings.warn(
+                f"image file {path!r} exists but failed to decode ({e}); "
+                "falling back to the solid-cyan texture",
+                RuntimeWarning, stacklevel=2,
+            )
         return None
 
 

@@ -42,26 +42,67 @@ class ProgressivePreview:
         imageio.save_png(self.path, img.reshape(self.height, self.width, 3))
 
 
+def render_fingerprint(scene, cam, config) -> str:
+    """Digest identifying a render stream: scene arrays + camera + every
+    config knob that changes sample values.  Two renders share partial
+    accumulators iff their fingerprints match — resuming across a changed
+    seed/scene/camera would silently blend two different renders otherwise.
+
+    ``samples_per_pixel`` is deliberately NOT part of the digest: the RNG
+    keys on absolute (pixel, sample) ids, so extending a finished render to a
+    higher spp cap is a legitimate resume of the same stream."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves((scene, cam)):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    h.update(repr((config.width, config.height, config.samples_per_pass,
+                   config.max_depth, config.seed, config.t_min)).encode())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass
 class RenderCheckpoint:
     path: str
 
     def save(self, radiance_sum: np.ndarray, samples_done: int, seed: int,
-             width: int, height: int) -> None:
+             width: int, height: int, fingerprint: str = "") -> None:
         tmp = Path(str(self.path) + ".tmp")
         np.savez(
             tmp, radiance=radiance_sum, samples_done=samples_done, seed=seed,
-            width=width, height=height,
+            width=width, height=height, fingerprint=np.str_(fingerprint),
         )
         # np.savez appends .npz to the filename it opens
         Path(str(tmp) + ".npz").replace(self.path)
 
-    def load(self) -> Optional[dict]:
+    def load(self, fingerprint: str = None) -> Optional[dict]:
+        """Load the checkpoint; returns None (with a warning) when
+        ``fingerprint`` is given and doesn't match the stamped one —
+        accumulating samples from a different (seed, scene, camera, config)
+        stream would silently corrupt the render."""
         p = Path(self.path)
         if not p.exists():
             return None
         with np.load(p) as z:
-            return {k: z[k] for k in z.files}
+            state = {k: z[k] for k in z.files}
+        if fingerprint is not None:
+            stamped = str(state.get("fingerprint", ""))
+            if stamped != fingerprint:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {self.path} was produced by a different "
+                    "render (scene/camera/config fingerprint mismatch); "
+                    "ignoring it and starting fresh",
+                    RuntimeWarning, stacklevel=2,
+                )
+                return None
+        return state
 
 
 def render_progressive(scene, cam, config, preview: ProgressivePreview = None,
@@ -83,8 +124,9 @@ def render_progressive(scene, cam, config, preview: ProgressivePreview = None,
 
     start_chunk = 0
     acc = np.zeros((W * H, 3), np.float64)
+    fp = render_fingerprint(scene, cam, config) if checkpoint is not None else ""
     if checkpoint is not None:
-        state = checkpoint.load()
+        state = checkpoint.load(fingerprint=fp)
         if state is not None and int(state["width"]) == W and int(state["height"]) == H:
             acc = state["radiance"].astype(np.float64)
             start_chunk = int(state["samples_done"]) // spass
@@ -104,7 +146,7 @@ def render_progressive(scene, cam, config, preview: ProgressivePreview = None,
         if preview is not None:
             preview.update(acc, done)
         if checkpoint is not None:
-            checkpoint.save(acc, done, config.seed, W, H)
+            checkpoint.save(acc, done, config.seed, W, H, fingerprint=fp)
 
     img = np.asarray(color_lib.to_uint8(acc, spp)).reshape(H, W, 3)
     return img, {"segments": segments, "resumed_at_chunk": start_chunk}

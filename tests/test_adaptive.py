@@ -53,3 +53,22 @@ def test_adaptive_divisibility_contract():
                        mode=RenderMode.ADAPTIVE)
     with pytest.raises(ValueError, match="perfectly fit"):
         render_lib.render(scene, cam, cfg)
+
+
+def test_adaptive_threshold_knob_is_live():
+    """config.adaptive_threshold must drive subdivision (round-1 VERDICT: the
+    knob was dead — ops/adaptive.py hardcoded 100)."""
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    base = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=3,
+                        seed=1, samples_per_pass=2, mode=RenderMode.ADAPTIVE)
+
+    # Threshold so large nothing subdivides: only the 4 corners of each of
+    # the (W/12)*(H/12) big squares are traced.
+    _, hi = render_lib.render(scene, cam, base.replace(adaptive_threshold=1e18))
+    assert hi["traced_pixels"] == (W // 12) * (H // 12) * 4
+
+    # Threshold below zero: every square subdivides all the way down and
+    # every pixel is traced exactly.
+    _, lo = render_lib.render(scene, cam, base.replace(adaptive_threshold=-1.0))
+    assert lo["traced_pixels"] == W * H

@@ -31,3 +31,21 @@ def test_save_png_writes_decodable_file(tmp_path):
 
 def test_load_missing_returns_none(tmp_path):
     assert imageio.load_image(tmp_path / "nope.png") is None
+
+
+def test_load_missing_is_silent_but_corrupt_warns(tmp_path, recwarn):
+    import warnings
+
+    # Missing file: expected degradation (texture.h:91-92) — no warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert imageio.load_image(tmp_path / "absent.jpg") is None
+
+    # Present-but-undecodable file: the reference's stb always decodes real
+    # files, so silently rendering cyan would hide a capability gap.
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not an image at all")
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="exists but"):
+        assert imageio.load_image(bad) is None

@@ -52,9 +52,41 @@ def test_progressive_matches_fused_and_resumes(tmp_path):
     img_half, _ = preview_lib.render_progressive(scene, cam, cfg_half, None, half)
     s = half.load()
     assert int(s["samples_done"]) == 4
-    # Turn the half-run state into a checkpoint for the full config and resume.
+    # Turn the half-run state into a checkpoint for the full config and
+    # resume.  spp is excluded from the fingerprint by design (extending a
+    # render is the same sample stream), so the half-run fingerprint is valid
+    # for the full config.
+    fp = preview_lib.render_fingerprint(scene, cam, cfg)
+    assert fp == preview_lib.render_fingerprint(scene, cam, cfg_half)
     full_ckpt = preview_lib.RenderCheckpoint(str(tmp_path / "full.ckpt"))
-    full_ckpt.save(s["radiance"], 4, cfg.seed, W, H)
+    full_ckpt.save(s["radiance"], 4, cfg.seed, W, H, fingerprint=fp)
     img2, stats2 = preview_lib.render_progressive(scene, cam, cfg, None, full_ckpt)
     assert stats2["resumed_at_chunk"] == 2
     np.testing.assert_array_equal(img2, fused_img)
+
+
+def test_checkpoint_fingerprint_rejects_foreign_state(tmp_path):
+    """Resuming with a different seed/scene/config must NOT blend streams:
+    the stamped fingerprint mismatch restarts the render from scratch."""
+    import pytest
+
+    scene, cam = scene_and_cam()
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=4, max_depth=3,
+                       samples_per_pass=2, seed=3)
+    ckpt = preview_lib.RenderCheckpoint(str(tmp_path / "fp.ckpt"))
+    img_a, stats_a = preview_lib.render_progressive(scene, cam, cfg, None, ckpt)
+    assert stats_a["resumed_at_chunk"] == 0
+
+    # Same checkpoint, different seed -> must warn and start fresh, and the
+    # result must equal a cold render at the new seed.
+    cfg2 = cfg.replace(seed=99)
+    with pytest.warns(RuntimeWarning, match="fingerprint mismatch"):
+        img_b, stats_b = preview_lib.render_progressive(scene, cam, cfg2, None, ckpt)
+    assert stats_b["resumed_at_chunk"] == 0
+    cold, _ = preview_lib.render_progressive(scene, cam, cfg2, None, None)
+    np.testing.assert_array_equal(img_b, cold)
+
+    # Matching config resumes as before (fingerprint round-trips).
+    img_c, stats_c = preview_lib.render_progressive(scene, cam, cfg2, None, ckpt)
+    assert stats_c["resumed_at_chunk"] == 2
+    np.testing.assert_array_equal(img_c, cold)

@@ -71,3 +71,36 @@ def test_empty_scene_raises():
                                  aspect_ratio=1.0)
     with pytest.raises(ValueError, match="empty scene"):
         render_lib.render(scene, cam, cfg)
+
+
+def test_medium_record_threads_t_min():
+    """The medium winner recompute must clamp the boundary entry to the
+    *configured* t_min, matching the selection sweep (round-1 VERDICT: it
+    hardcoded 1e-3, so non-default t_min renders disagreed with selection)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from another_raytracer_tpu.models.scene import SceneBuilder
+    from another_raytracer_tpu.ops import intersect
+    from another_raytracer_tpu.ops.vec3 import V3
+
+    b = SceneBuilder()
+    b.constant_medium_box((0, 0, 0), (1, 1, 1), density=10.0, color=(1, 1, 1))
+    scene = b.build()
+
+    # Ray starting inside the box: entry t1 < 0, so the recompute's entry
+    # clamp IS the configured t_min.
+    B = 4
+    o = V3(jnp.full((B,), 0.5), jnp.full((B,), 0.5), jnp.full((B,), 0.5))
+    d = V3(jnp.ones((B,)), jnp.zeros((B,)), jnp.zeros((B,)))
+    time = jnp.zeros((B,))
+    u_media = jnp.full((B, 1), 0.7)
+    t_min = 0.25
+
+    t, kind, idx = intersect.closest_hit(scene, o, d, time, u_media, t_min)
+    assert bool((kind == 3).all()), "expected the medium to win"
+    rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx,
+                                    u_media=u_media, t_min=t_min)
+    np.testing.assert_allclose(np.asarray(rec.t), np.asarray(t), rtol=1e-6)
+    # Sanity: the hit is beyond the configured epsilon, not the old 1e-3.
+    assert float(rec.t.min()) >= t_min
