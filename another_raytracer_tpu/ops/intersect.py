@@ -483,14 +483,54 @@ def _rect_record(scene, o, d, t, idx):
     return t, p_world, n_world, mat, u, v, u, v
 
 
+# Mesh-sized triangle tables (> gather.MAX_ONEHOT_K) exceed the one-hot
+# matmul's profitable range, so the winner recompute needs real gathers.
+# Thirteen separate [B]-indexed column gathers are thirteen scalar-ish
+# gather loops; packing all columns into one traced [N,16] table turns them
+# into ONE row gather of contiguous 64-byte rows.  The concatenate is
+# differentiable (its transpose is a slice), so vertex/uv gradients still
+# flow.  Trace-time knob for A/B benchmarking (scripts/ab_mesh_gather.py).
+TRI_PACKED_RECORD = True
+
+
+def _triangle_gather_packed(scene, ii):
+    """One [N,16] row gather for all 13 winner-triangle columns.
+    Requires the identity-transform fast path (mesh scenes; the BVH builder
+    enforces identity triangle transforms)."""
+    packed = jnp.concatenate(
+        [scene.tri_v0, scene.tri_v1, scene.tri_v2,
+         scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+         scene.tri_mat.astype(scene.tri_v0.dtype)[:, None]],
+        axis=1,
+    )  # [N, 16]
+    rows = packed[ii]  # [B, 16]
+    c = lambda k: rows[:, k]  # noqa: E731
+    v0 = V3(c(0), c(1), c(2))
+    v1 = V3(c(3), c(4), c(5))
+    v2 = V3(c(6), c(7), c(8))
+    uvs = (c(9), c(10), c(11), c(12), c(13), c(14))
+    mat = rows[:, 15].astype(jnp.int32)
+    return v0, v1, v2, uvs, mat
+
+
 def _triangle_record(scene, o, d, t, idx):
     ii = jnp.clip(idx, 0, scene.n_triangles - 1)
+    packed = (
+        TRI_PACKED_RECORD
+        and scene.n_triangles > 512
+        and _identity_xf(scene)
+    )
     look = Lookup(ii, scene.n_triangles)
-    v0 = look.v3(scene.tri_v0)
-    v1 = look.v3(scene.tri_v1)
-    v2 = look.v3(scene.tri_v2)
-    (xf,) = look(scene.tri_xf)
-    o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
+    if packed:
+        v0, v1, v2, packed_uvs, packed_mat = _triangle_gather_packed(scene, ii)
+        o_b, d_b = o, d
+        rows = None
+    else:
+        v0 = look.v3(scene.tri_v0)
+        v1 = look.v3(scene.tri_v1)
+        v2 = look.v3(scene.tri_v2)
+        (xf,) = look(scene.tri_xf)
+        o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     n = vec3.cross(v1 - v0, v2 - v0)
     # Differentiable t recompute from the plane equation.
     ndotd = vec3.dot(n, d_b)
@@ -505,16 +545,20 @@ def _triangle_record(scene, o, d, t, idx):
     u = vec3.dot(n, vec3.cross(v2 - v1, p_obj - v1)) / n2
     v = vec3.dot(n, vec3.cross(v0 - v2, p_obj - v2)) / n2
     w = 1.0 - u - v
-    (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v, mat) = look(
-        scene.tri_uv0[:, 0], scene.tri_uv0[:, 1],
-        scene.tri_uv1[:, 0], scene.tri_uv1[:, 1],
-        scene.tri_uv2[:, 0], scene.tri_uv2[:, 1],
-        scene.tri_mat,
-    )
+    if packed:
+        (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v) = packed_uvs
+        mat = packed_mat
+    else:
+        (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v, mat) = look(
+            scene.tri_uv0[:, 0], scene.tri_uv0[:, 1],
+            scene.tri_uv1[:, 0], scene.tri_uv1[:, 1],
+            scene.tri_uv2[:, 0], scene.tri_uv2[:, 1],
+            scene.tri_mat,
+        )
     tu = u * uv0u + v * uv1u + w * uv2u
     tv = u * uv0v + v * uv1v + w * uv2v
     # DIVERGENCE from reference: normalized normal (see module docstring).
-    n_world = vec3.unit(vec3.rotate(rows, n))
+    n_world = vec3.unit(n if rows is None else vec3.rotate(rows, n))
     p_world = o + d * t
     return t, p_world, n_world, mat, u, v, tu, tv
 

@@ -99,3 +99,50 @@ def test_instanced_scene():
     b.sphere((0, -100.5, 0), 100, b.lambertian(color=(0.5, 0.5, 0.5)))
     cam = dict(lookfrom=(0, 1.2, 3), lookat=(0, 0.5, 0), vfov=45.0)
     compare(b.build(), cam)
+
+
+# --- the remaining canonical scenes (round-1 VERDICT #5: BASELINE's north
+# star names image-allclose on Cornell AND the final scene; 9/9 coverage) ---
+
+
+def test_two_spheres():
+    scene, cam = library.two_spheres()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_two_perlin_spheres():
+    scene, cam = library.two_perlin_spheres()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_earth():
+    scene, cam = library.earth()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_random_scene():
+    # 505 spheres incl. moving diffuse pairs, defocus blur, checker ground
+    # (scene_manager.cpp:13-64).
+    scene, cam = library.random_scene()
+    compare(scene, cam, spp=2, depth=4)
+
+
+def test_final_scene():
+    # 2,401 rects + ~1,006 spheres + media + instanced cluster
+    # (scene_manager.cpp:171-234).  Small frame: the oracle visits every
+    # primitive sequentially per bounce.
+    scene, cam = library.final_scene()
+    compare(scene, cam, spp=2, depth=4, width=24, height=18, flip_budget=0.02)
+
+
+def test_mesh_scene():
+    # capsule.obj: 10,200 textured triangles + light + global mist
+    # (scene_manager.cpp:236-258).  Device side traverses the BVH (XLA
+    # lockstep on CPU); the oracle sweeps all triangles — so this also
+    # cross-checks BVH traversal against exhaustive intersection.
+    from another_raytracer_tpu.utils import assets
+
+    if not assets.capsule_obj_path().exists():
+        pytest.skip("capsule assets unavailable")
+    scene, cam = library.mesh_scene()
+    compare(scene, cam, spp=2, depth=3, width=24, height=18, flip_budget=0.02)
