@@ -57,6 +57,46 @@ def _trace_pixels(scene, cam, pixel_ids, seed, *, width, height, spp,
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "spp", "samples_per_pass",
+                     "max_depth", "t_min"),
+)
+def _trace_pixels_sharded(scene, cam, pixel_ids, seed, *, mesh, width, height,
+                          spp, samples_per_pass, max_depth, t_min):
+    """Adaptive pixel batches over the device mesh: pixels shard over 'tile',
+    the sample range over 'spp' with a psum — the same decomposition as
+    parallel_stripes/images (parallel/sharding.py), applied to the bucketed
+    batches.  The reference runs its adaptive mode over 4 pool threads
+    (engine.h:298-317); this is the device-mesh analogue.  Bucket sizes are
+    powers of two >= 1024, so they always divide by the mesh axes."""
+    from jax.sharding import PartitionSpec as P
+
+    n_spp = mesh.shape["spp"]
+    spp_local = -(-spp // n_spp)
+
+    def shard_fn(scene, cam, seed, pix_local):
+        spp_idx = jax.lax.axis_index("spp")
+        acc, segs = render_lib.radiance_batch(
+            scene, cam, pix_local, seed, width=width, height=height,
+            sample_start=(spp_idx * spp_local).astype(jnp.uint32),
+            n_samples=spp_local, spp_cap=spp,
+            samples_per_pass=samples_per_pass, max_depth=max_depth,
+            t_min=t_min,
+        )
+        acc = jax.lax.psum(acc, "spp")
+        segs = jax.lax.psum(segs, ("tile", "spp"))
+        return acc, segs
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile")),
+        out_specs=(P("tile"), P()),
+        check_vma=False,  # see parallel/sharding.py note
+    )
+    return fn(scene, cam, seed, pixel_ids)
+
+
 def _bucket(n: int) -> int:
     b = _min_bucket()
     while b < n:
@@ -111,11 +151,21 @@ def _interpolate_squares(work, xs, ys, size):
             work[py[not_eval], px[not_eval]] = val[not_eval]
 
 
-def render_adaptive(scene, cam, config: RenderConfig):
+def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
     """Adaptive render -> (uint8 image [H,W,3], stats).
 
     stats['traced_pixels'] counts pixels actually path traced (the honest
-    workload measure the reference's kRay/s metric overcounts)."""
+    workload measure the reference's kRay/s metric overcounts).
+
+    ``mesh``: optional ('tile', 'spp') device mesh; the bucketed pixel
+    batches shard across it (bit-identical output — the RNG keys on absolute
+    (pixel, sample) ids).  Defaults to all devices on 'tile' when more than
+    one is visible, mirroring the reference's always-4-threads adaptive
+    (engine.h:313-317)."""
+    if mesh is None and len(jax.devices()) > 1:
+        from another_raytracer_tpu.parallel import sharding
+
+        mesh = sharding.hybrid_mesh()
     W, H = config.width, config.height
     big = config.adaptive_tile
     if big % 2 != 0 or (big // 2) % 2 != 0:
@@ -148,12 +198,16 @@ def render_adaptive(scene, cam, config: RenderConfig):
         b = _bucket(len(flat))
         padded = np.full(b, flat[0], np.uint32)
         padded[: len(flat)] = flat
-        acc, segs = _trace_pixels(
-            scene, cam, jnp.asarray(padded), jnp.uint32(config.seed),
-            width=W, height=H, spp=spp,
-            samples_per_pass=config.samples_per_pass,
-            max_depth=config.max_depth, t_min=config.t_min,
-        )
+        kw = dict(width=W, height=H, spp=spp,
+                  samples_per_pass=config.samples_per_pass,
+                  max_depth=config.max_depth, t_min=config.t_min)
+        if mesh is not None:
+            acc, segs = _trace_pixels_sharded(
+                scene, cam, jnp.asarray(padded), jnp.uint32(config.seed),
+                mesh=mesh, **kw)
+        else:
+            acc, segs = _trace_pixels(
+                scene, cam, jnp.asarray(padded), jnp.uint32(config.seed), **kw)
         from another_raytracer_tpu.ops import vec3
         acc = vec3.to_numpy(acc)[: len(flat)]
         total_segments += int(segs)  # padding overcount is bounded by bucket
@@ -218,4 +272,5 @@ def render_adaptive(scene, cam, config: RenderConfig):
         "segments": total_segments,
         "traced_pixels": traced,
         "total_pixels": W * H,
+        "mesh": dict(mesh.shape) if mesh is not None else None,
     }

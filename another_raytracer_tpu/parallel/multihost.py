@@ -23,17 +23,22 @@ import jax
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """jax.distributed.initialize with env-var fallback (no-op if already
-    initialized or single-process)."""
+    """jax.distributed.initialize with env-var fallback.
+
+    Must run before any JAX computation (backend initialization pins the
+    process-local view).  A repeated call is a no-op; any other failure
+    propagates — silently degrading to single-process here would make every
+    downstream shard_map quietly compute 1/N of the frame.  Exercised by the
+    two-process localhost test (tests/test_multihost.py)."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process context
-        pass
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_index(), jax.process_count()
 
 

@@ -72,3 +72,34 @@ def test_adaptive_threshold_knob_is_live():
     # every pixel is traced exactly.
     _, lo = render_lib.render(scene, cam, base.replace(adaptive_threshold=-1.0))
     assert lo["traced_pixels"] == W * H
+
+
+def test_adaptive_sharded_matches_single_device():
+    """Adaptive over the 8-device mesh must be bit-identical to the
+    single-device adaptive render (round-1 VERDICT #7: the reference's
+    default mode runs over 4 threads; ours must scale over chips)."""
+    import jax
+
+    from another_raytracer_tpu.ops import adaptive as adaptive_lib
+    from another_raytracer_tpu.parallel import sharding
+
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP, max_depth=DEPTH,
+                       seed=1, samples_per_pass=2, mode=RenderMode.ADAPTIVE)
+
+    # Force single-device by passing a 1x1 mesh.
+    mesh1 = sharding.hybrid_mesh(1, 1, devices=jax.devices()[:1])
+    img_single, s_single = adaptive_lib.render_adaptive(scene, cam, cfg, mesh=mesh1)
+    assert s_single["mesh"] == {"tile": 1, "spp": 1}
+
+    mesh8 = sharding.hybrid_mesh(4, 2)
+    img_mesh, s_mesh = adaptive_lib.render_adaptive(scene, cam, cfg, mesh=mesh8)
+    assert s_mesh["mesh"] == {"tile": 4, "spp": 2}
+    np.testing.assert_array_equal(img_mesh, img_single)
+    assert s_mesh["traced_pixels"] == s_single["traced_pixels"]
+
+    # The default dispatch (render() with >1 device) also shards.
+    img_def, s_def = render_lib.render(scene, cam, cfg)
+    assert s_def["mesh"] is not None
+    np.testing.assert_array_equal(img_def, img_single)
