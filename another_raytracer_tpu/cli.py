@@ -47,6 +47,15 @@ def main(argv=None):
                         "counter-based RNG)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the render")
+    p.add_argument("--live", type=int, default=None, metavar="PORT", nargs="?",
+                   const=0,
+                   help="serve a live progress view over HTTP while rendering "
+                        "(0/omitted value = pick a free port; analog of the "
+                        "reference's dynamic_gui window, gui.cpp:25-58)")
+    p.add_argument("--view", action="store_true",
+                   help="after rendering, keep serving the final frame over "
+                        "HTTP until ^C (analog of the blocking gui::display, "
+                        "gui.cpp:13-23 / main.cpp:55)")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(
@@ -63,12 +72,21 @@ def main(argv=None):
     print(f"rendering scene {args.scene} at {cfg.width}x{cfg.height} "
           f"spp={cfg.samples_per_pixel} depth={cfg.max_depth} mode={cfg.mode.value}")
 
+    viewer = None
+    if args.live is not None or args.view:
+        from another_raytracer_tpu.utils.liveview import LiveViewer
+
+        viewer = LiveViewer(port=args.live or 0)
+        viewer.start()
+        print(f"live view at {viewer.url}")
+
     def do_render():
-        if args.preview or args.checkpoint:
+        if args.preview or args.checkpoint or args.live is not None:
             from another_raytracer_tpu.utils import preview as preview_lib
 
-            prev = (preview_lib.ProgressivePreview(args.preview, cfg.width, cfg.height)
-                    if args.preview else None)
+            prev = (preview_lib.ProgressivePreview(
+                        args.preview, cfg.width, cfg.height, viewer=viewer)
+                    if args.preview or args.live is not None else None)
             ckpt = preview_lib.RenderCheckpoint(args.checkpoint) if args.checkpoint else None
             return preview_lib.render_progressive(scene, cam, cfg, prev, ckpt)
         return render_lib.render(scene, cam, cfg)
@@ -89,6 +107,13 @@ def main(argv=None):
           f"({segments/elapsed/1e6:.2f} Mrays/s, {segments} segments)")
     imageio.save_png(args.out, img)
     print(f"wrote {args.out}")
+    if args.view:
+        viewer.update(img)
+        print(f"serving final frame at {viewer.url} (^C to exit)")
+        viewer.serve_forever()
+    elif viewer is not None:
+        viewer.update(img)
+        viewer.stop()
     return 0
 
 

@@ -26,20 +26,30 @@ from another_raytracer_tpu.ops import color as color_lib
 
 @dataclasses.dataclass
 class ProgressivePreview:
-    path: str
+    """Between-pass progress sink: PNG snapshots to ``path`` and/or a live
+    HTTP viewer (utils/liveview.py) — together the headless analog of the
+    reference's dynamic_gui window (gui.cpp:25-58)."""
+
+    path: Optional[str]
     width: int
     height: int
     interval: int = 1  # write every N updates
+    viewer: object = None  # optional LiveViewer; pushed every update
     _count: int = 0
 
     def update(self, radiance_sum: np.ndarray, samples_done: int) -> None:
         self._count += 1
-        if self._count % self.interval:
+        write_file = self.path is not None and self._count % self.interval == 0
+        if not write_file and self.viewer is None:
             return
-        from another_raytracer_tpu.utils import imageio
-
         img = np.asarray(color_lib.to_uint8(radiance_sum, max(samples_done, 1)))
-        imageio.save_png(self.path, img.reshape(self.height, self.width, 3))
+        img = img.reshape(self.height, self.width, 3)
+        if self.viewer is not None:
+            self.viewer.update(img, samples_done)
+        if write_file:
+            from another_raytracer_tpu.utils import imageio
+
+            imageio.save_png(self.path, img)
 
 
 def render_fingerprint(scene, cam, config) -> str:
