@@ -92,7 +92,7 @@ def _trace_pixels_sharded(scene, cam, pixel_ids, seed, *, mesh, width, height,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P("tile")),
         out_specs=(P("tile"), P()),
-        check_vma=False,  # see parallel/sharding.py note
+        check_vma=True,  # see parallel/sharding.py note
     )
     return fn(scene, cam, seed, pixel_ids)
 

@@ -41,6 +41,10 @@ from another_raytracer_tpu.ops.vec3 import V3
 # lookups + two texture evaluations per bounce).
 FUSE_SHADE = True
 
+# Trace-time A/B knob (scripts/ab_dead_lanes.py): zero dead lanes' ray
+# directions before the winner search so they miss everything cheaply.
+ZERO_DEAD_DIRS = True
+
 
 def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
     """One uniform per (ray, medium) for free-flight sampling; lanes
@@ -72,10 +76,18 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
     # backward only sees the per-ray winner recompute in make_hit_record,
     # which re-derives t differentiably from primitive parameters.
     sg = jax.lax.stop_gradient
+    # Dead lanes keep their last ray in the lockstep carry; zero their
+    # directions so they miss every primitive/AABB instead of dragging real
+    # intersection work along.  For the packet-BVH kernel this is decisive:
+    # a block's traversal follows the union of its lanes' needs, so stale
+    # dead rays force full-tree walks (measured: the capsule mesh averages
+    # 1.8 segments/primary — most lanes are dead most bounces).  Results for
+    # dead lanes are discarded by the alive masks below either way.
+    d_live = vec3.where(alive, d, V3.zeros(alive.shape)) if ZERO_DEAD_DIRS else d
     t, kind, idx = intersect.closest_hit(
-        sg(scene), sg(o), sg(d), sg(time), u_media, t_min
+        sg(scene), sg(o), sg(d_live), sg(time), u_media, t_min
     )
-    hit = kind >= 0
+    hit = (kind >= 0) & alive
 
     # Miss -> background * throughput, then die (engine.h:455-457).
     miss_now = alive & ~hit
@@ -131,14 +143,22 @@ def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int
     per-bounce residual HBM traffic; only meaningful with
     ``differentiable=True``).
     """
-    B = o.x.shape[0]
-    ones = jnp.ones((B,), o.x.dtype)
+    # Derive the initial carry from the ray *direction* rather than fresh
+    # constants: under shard_map the loop carry must enter with the same
+    # varying-axes type it exits with (check_vma=True).  d is always
+    # pixel-derived hence device-varying; o can be a replicated constant
+    # (lens-less camera origin) so it is bound to d's type too.  All of this
+    # folds away in compilation.
+    z = d.x * 0.0
+    ones = z + 1.0
+    alive = z < 1.0  # all-true, varying like d.x
+    o = V3(o.x + z, o.y + z, o.z + z)
     carry = (
         o, d, time,
         V3(ones, ones, ones),
-        V3.zeros((B,), o.x.dtype),
-        jnp.ones((B,), bool),
-        jnp.asarray(B, jnp.int32),  # primary segments are all alive
+        V3(z, z, z),
+        alive,
+        jnp.sum(alive.astype(jnp.int32)),  # == B: primary segments all alive
     )
 
     if differentiable:

@@ -68,7 +68,12 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         acc = acc + radiance.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
         return (acc, segments + segs), None
 
-    init = (V3.zeros((n_pixels,), jnp.float32), jnp.int32(0))
+    # Zeros derived from pixel_ids AND sample_start inherit the full
+    # device-varying type under shard_map — pixels vary over 'tile',
+    # sample_start (an axis_index) over 'spp' — so the scan carry types
+    # check out (see integrator.trace).  Folds away in compilation.
+    zp = ((pixel_ids + jnp.uint32(sample_start)) * 0).astype(jnp.float32)
+    init = (V3(zp, zp, zp), zp[0].astype(jnp.int32))
     if n_chunks == 1:
         (acc, segments), _ = one_pass(init, jnp.uint32(0))
     else:

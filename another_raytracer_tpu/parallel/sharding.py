@@ -108,10 +108,10 @@ def render_radiance_sharded(scene, cam, seed, *, mesh: Mesh, width, height,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile")),
         out_specs=(P("tile"), P()),
-        # The scan carry inside radiance_batch starts replicated and becomes
-        # device-varying; skip the static varying-axes check rather than
-        # threading pvary through mode-agnostic code.
-        check_vma=False,
+        # Varying-axes checking stays ON: integrator.trace derives its loop
+        # carry from the varying ray directions, so the types line up and the
+        # checker can catch real sharding bugs.
+        check_vma=True,
     )
     acc, segs = fn(scene, cam, seed, pixel_ids)
     inv_j = jnp.asarray(inv)

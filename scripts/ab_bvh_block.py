@@ -98,7 +98,7 @@ def main():
     cases["bounce(sorted)"] = (p_np[sorted_idx].astype(np.float32), dirs[sorted_idx])
 
     fns = {}
-    for blk in (256, 512, 1024, 2048):
+    for blk in (1024, 2048, 4096):
         fns[blk] = jax.jit(
             lambda o, d, _b=blk: bvh_kernel.bvh_closest_hit(
                 scene.bvh_packed_nodes, scene.bvh_packed_tris, o, d,
