@@ -43,7 +43,15 @@ FUSE_SHADE = True
 
 # Trace-time A/B knob (scripts/ab_dead_lanes.py): zero dead lanes' ray
 # directions before the winner search so they miss everything cheaply.
+# Measured NEUTRAL on TPU (mesh fwd 185.0 vs 185.2 ms; cornell fwd+bwd 47.5
+# vs 47.1 ms): with ~45% of lanes still alive at bounce 1 each packet block's
+# traversal union saturates the tree anyway.  Kept (inert, and it can only
+# help in low-alive regimes like depth-50 defaults).
 ZERO_DEAD_DIRS = True
+
+# Forward renders use the regenerating wavefront (trace_regenerative) instead
+# of the lockstep chunk scan.  A/B knob for scripts/ab_regen.py.
+REGEN_FORWARD = True
 
 
 def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
@@ -127,6 +135,134 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
     d = vec3.where(alive, new_dir, d)
     segments = segments + jnp.sum(alive.astype(jnp.int32))
     return (o, d, time, throughput, radiance, alive, segments)
+
+
+def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
+                       width: int, height: int, sample_stride: int,
+                       sample_end, spp_cap, max_depth: int, t_min: float):
+    """Forward-only wavefront with per-lane sample regeneration.
+
+    Lockstep tracing (``trace``) runs chunks x max_depth bounce steps with
+    every lane padded to the deepest path — at the measured ~1.8-3.8 average
+    segments per primary that is 2-4x dead-lane work, and the worst of it
+    lands on the packet-BVH kernel (a block traverses the union of its
+    lanes' needs, so stale lanes force full-tree walks).  Here each lane owns
+    a (pixel, sample-arithmetic-progression) work list: the moment its path
+    terminates, the lane re-arms with the next sample's camera ray (pure
+    per-lane arithmetic — counter-based RNG keyed on absolute (pixel,
+    sample, bounce), camera evaluation, no cross-lane traffic).  One
+    while_loop replaces both the outer sample scan and the bounce loop, and
+    iteration count tracks max-over-lanes total segments instead of
+    chunks x depth.
+
+    Radiance is BIT-IDENTICAL to the lockstep path: each lane accumulates
+    its samples' contributions in the same (sample, bounce) lexicographic
+    order, with the same RNG draws (tests/test_regen.py).
+
+    Not differentiable (data-dependent trip count); the scan path remains
+    the gradient route.
+
+    Args:
+      sample_ids0: [B] first sample id per lane.
+      sample_stride: per-lane sample step (the samples_per_pass layout:
+        lane (s, p) owns samples s, s+stride, ...).
+      sample_end, spp_cap: lane sample ids must stay < min(both).
+
+    Returns (radiance V3 [B] per-lane sums, segments int32).
+    """
+    from another_raytracer_tpu.ops import camera as camera_lib
+
+    limit = jnp.minimum(jnp.uint32(sample_end), jnp.uint32(spp_cap))
+    needs_time = scene.has_motion
+
+    def cam_rays(sample_ids):
+        return camera_lib.generate_rays(
+            cam, pixel_ids, sample_ids, width, height, seed,
+            needs_time=needs_time)
+
+    o, d, time = cam_rays(sample_ids0)
+    # Bind every carry component to d's varying-axes type (see trace): the
+    # pinhole origin / zero shutter time are replicated constants and the
+    # initial sample ids vary only over the sample axis.
+    z = d.x * 0.0
+    ones = z + 1.0
+    o = V3(o.x + z, o.y + z, o.z + z)
+    time = time + z
+    sample = sample_ids0 + (pixel_ids * 0)
+    alive = (z < 1.0) & (sample < limit)
+    state = (
+        o, d, time,
+        V3(ones, ones, ones),  # throughput
+        V3(z, z, z),  # total radiance (finished paths, summed per path)
+        V3(z, z, z),  # current path's radiance
+        alive,
+        sample,
+        jnp.zeros_like(sample),  # bounce within current path
+        jnp.sum(alive.astype(jnp.int32)),  # segments
+    )
+
+    def cond(state):
+        return jnp.any(state[6])
+
+    def body(state):
+        (o, d, time, throughput, total, path_rad, alive, sample, bounce,
+         segments) = state
+
+        u_media = _media_uniforms(scene, pixel_ids, sample, bounce, seed)
+        d_live = vec3.where(alive, d, V3.zeros(alive.shape)) if ZERO_DEAD_DIRS else d
+        t, kind, idx = intersect.closest_hit(scene, o, d_live, time, u_media, t_min)
+        hit = (kind >= 0) & alive
+
+        miss_now = alive & ~hit
+        bg = V3.from_array(scene.background)
+        path_rad = path_rad + vec3.where(miss_now, throughput * bg,
+                                         V3.zeros(miss_now.shape))
+
+        rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx,
+                                        u_media, t_min=t_min)
+        emit, new_dir, attenuation, scatter_ok = shade.emit_and_scatter(
+            scene, rec, d, pixel_ids, sample, bounce, seed)
+
+        path_rad = path_rad + vec3.where(hit, throughput * emit,
+                                         V3.zeros(hit.shape))
+
+        scattered = hit & scatter_ok
+        throughput = vec3.where(scattered, throughput * attenuation, throughput)
+        o = vec3.where(scattered, rec.p, o)
+        d = vec3.where(scattered, new_dir, d)
+        bounce = jnp.where(alive, bounce + 1, bounce)
+        # Depth exhaustion contributes nothing further (engine.h:451-452).
+        alive = scattered & (bounce < max_depth)
+        # Count every scatter (even depth-capped ones) — the same convention
+        # as the lockstep loop, which counts alive-after-scatter at each of
+        # its fixed max_depth steps, so segment totals agree across paths.
+        segments = segments + jnp.sum(scattered.astype(jnp.int32))
+
+        # Fold finished paths into the lane total as one value — the same
+        # floating-point add grouping as the lockstep chunk scan (acc +=
+        # whole-sample radiance), keeping the two paths bit-identical.
+        ended = state[6] & ~alive
+        total = total + vec3.where(ended, path_rad, V3.zeros(ended.shape))
+        path_rad = vec3.where(ended, V3.zeros(ended.shape), path_rad)
+
+        # Re-arm ended lanes with their next sample's primary ray.
+        next_sample = jnp.where(ended, sample + jnp.uint32(sample_stride), sample)
+        regen = ended & (next_sample < limit)
+        o2, d2, time2 = cam_rays(next_sample)
+        o = vec3.where(regen, o2, o)
+        d = vec3.where(regen, d2, d)
+        time = jnp.where(regen, time2, time)
+        one = jnp.ones_like(throughput.x)
+        throughput = vec3.where(regen, V3(one, one, one), throughput)
+        bounce = jnp.where(regen, 0, bounce)
+        alive = alive | regen
+        sample = next_sample
+        segments = segments + jnp.sum(regen.astype(jnp.int32))
+        return (o, d, time, throughput, total, path_rad, alive, sample, bounce,
+                segments)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[4], state[9]
 
 
 def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int,

@@ -570,13 +570,22 @@ def _medium_record(scene, o, d, t, idx, u_media, t_min):
     # function of the boundary interval and density given the (detached)
     # uniform, so gradients flow to boundary params and density.
     t1, t2, _ = _medium_interval(scene, o, d)
-    t1 = jnp.take_along_axis(t1, ii[:, None], axis=1)[:, 0]
+    # Column select instead of take_along_axis: XLA lowers a [B,1] gather to
+    # a ~1 element/cycle loop (measured 0.3 ms per gather at B=43k on v5e,
+    # rivaling the whole BVH traversal); media counts are tiny (<= 2 in all
+    # canonical scenes) so a masked column sum is pure vector ALU.
+    if scene.n_media == 1:
+        t1 = t1[:, 0]
+        u = u_media[:, 0] if u_media.shape[1] else jnp.zeros_like(t)
+    else:
+        sel = ii[:, None] == jnp.arange(scene.n_media, dtype=ii.dtype)[None, :]
+        t1 = jnp.where(sel, t1, 0.0).sum(axis=1)
+        if u_media.shape[1]:
+            u = jnp.where(sel, u_media, 0.0).sum(axis=1)
+        else:
+            u = jnp.zeros_like(t)
     r1 = jnp.maximum(jnp.maximum(t1, t_min), 0.0)
     ray_len = vec3.length(d)
-    if u_media.shape[1]:
-        u = jnp.take_along_axis(u_media, ii[:, None], axis=1)[:, 0]
-    else:
-        u = jnp.zeros_like(t)
     (nid, mat) = look(scene.med_neg_inv_density, scene.med_mat)
     hd = nid * jnp.log(jnp.maximum(u, 1e-37))
     t = r1 + hd / ray_len

@@ -51,6 +51,22 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     pix = jnp.tile(pixel_ids, spass)
     samp_offsets = jnp.repeat(jnp.arange(spass, dtype=jnp.uint32), n_pixels)
 
+    if not differentiable and integrator.REGEN_FORWARD and n_samples > spass:
+        # Forward renders use the regenerating wavefront: lanes re-arm with
+        # their next sample on path termination instead of idling in
+        # lockstep, replacing the chunk scan + fixed bounce loop (see
+        # integrator.trace_regenerative).  Bit-identical at spass=1 (the
+        # default); spass>1 regroups per-pixel sample additions (fp-level
+        # only).  The gradient path keeps the scan (fixed trip count).
+        acc, segments = integrator.trace_regenerative(
+            scene, cam, pix, samp_offsets + jnp.uint32(sample_start), seed,
+            width=width, height=height, sample_stride=spass,
+            sample_end=jnp.uint32(sample_start) + n_samples, spp_cap=spp_cap,
+            max_depth=max_depth, t_min=t_min,
+        )
+        acc = acc.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
+        return acc, segments
+
     def one_pass(carry, chunk):
         acc, segments = carry
         sample_ids = samp_offsets + sample_start + chunk * spass

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from another_raytracer_tpu.models import scene as scene_lib
 from another_raytracer_tpu.ops import rng, vec3
 from another_raytracer_tpu.ops.gather import Lookup
-from another_raytracer_tpu.ops.intersect import HitRecord, _col3
+from another_raytracer_tpu.ops.intersect import HitRecord
 from another_raytracer_tpu.ops.vec3 import V3
 
 PERLIN_N = scene_lib.PERLIN_POINT_COUNT
@@ -142,7 +142,11 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
         cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
         i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
         j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
-        texel = _col3(scene.atlas, off + j * w + i)
+        # One [B]-indexed ROW gather instead of three column gathers: each
+        # [B] gather is a ~1 element/cycle loop on TPU (measured 0.29 ms each
+        # at B=43k), and all three share the same texel index.
+        rows = scene.atlas[off + j * w + i]
+        texel = V3(rows[:, 0], rows[:, 1], rows[:, 2])
         out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
 
     if scene_lib.TEX_BARYCENTRIC in kinds:

@@ -105,3 +105,34 @@ if __name__ == "__main__":
     if "--summarize-only" not in sys.argv:
         capture()
     summarize()
+
+
+def summarize_ops(n_runs=3, top=24):
+    """Like summarize, but per individual op name (no base-name grouping)."""
+    import gzip
+    import json
+
+    files = sorted(glob.glob(LOGDIR + "/plugins/profile/*/*.trace.json.gz"))
+    tr = json.loads(gzip.open(files[-1]).read())
+    events = tr["traceEvents"]
+    tidname = {}
+    dev_pid = None
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e.get("args", {}).get("name", ""):
+            dev_pid = e["pid"]
+    for e in events:
+        if e.get("ph") == "M" and e.get("pid") == dev_pid and e.get("name") == "thread_name":
+            tidname[e["tid"]] = e["args"]["name"]
+    per = defaultdict(float)
+    cnt = defaultdict(int)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") != dev_pid \
+                or tidname.get(e.get("tid")) != "XLA Ops":
+            continue
+        if e["name"].startswith("while"):
+            continue
+        per[e["name"]] += e["dur"]
+        cnt[e["name"]] += 1
+    for name, d in sorted(per.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"   {d/n_runs/1000:8.3f} ms/run x{cnt[name]//n_runs:4d}  {name[:110]}")
