@@ -63,7 +63,12 @@ def build(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = LEAF_SIZE) -> Fla
             c = centroids[ids]
             axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
             order = np.argsort(c[:, axis], kind="stable")
-            half = len(ids) // 2
+            # Median split rounded to a leaf_size multiple: every leaf except
+            # possibly the last comes out FULL, so the traversal's unrolled
+            # leaf loop (bvh_kernel LEAF_SIZE tests, masked by count) wastes
+            # no lanes on partial leaves, and the tree has ~leaf_size/avg
+            # fewer nodes than a plain median split.
+            half = max(leaf_size, (len(ids) // 2 // leaf_size) * leaf_size)
             emit(ids[order[:half]])
             emit(ids[order[half:]])
         escape[idx] = len(nodes_min)  # one past the subtree in DFS order

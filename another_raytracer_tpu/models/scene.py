@@ -168,6 +168,12 @@ class SceneData:
     # Use the Pallas packet-traversal kernel for the triangle BVH (set at
     # build time; static so it keys the jit cache).
     use_pallas_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    # Triangles per BVH leaf (build-time choice; the traversal unrolls this
+    # many masked tests per visited leaf).
+    bvh_leaf_size: int = flax.struct.field(pytree_node=False, default=8)
+    # Rays per packet-kernel block (must be a multiple of 1024 for Mosaic's
+    # 1D layout tiling).
+    bvh_block: int = flax.struct.field(pytree_node=False, default=1024)
     # Any motion-blurred (moving) sphere present?  When False, ray time
     # cannot affect radiance, so the camera skips the shutter-time threefry
     # draw (draws are keyed per-purpose lanes; skipping one never shifts
@@ -376,7 +382,8 @@ class SceneBuilder:
     # Build a triangle BVH when the mesh is at least this large ('auto').
     BVH_AUTO_THRESHOLD = 64
 
-    def build(self, dtype=jnp.float32, bvh="auto", pallas_bvh="auto") -> SceneData:
+    def build(self, dtype=jnp.float32, bvh="auto", pallas_bvh="auto",
+              bvh_leaf_size: int = 8, bvh_block: int = 1024) -> SceneData:
         f = lambda x, shape: (  # noqa: E731
             jnp.asarray(np.asarray(x, np.float64).reshape(shape), dtype)
         )
@@ -437,7 +444,8 @@ class SceneBuilder:
             v0 = np.stack(tri[0]).reshape(nt, 3)
             v1 = np.stack(tri[1]).reshape(nt, 3)
             v2 = np.stack(tri[2]).reshape(nt, 3)
-            tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2))
+            tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2),
+                                 leaf_size=bvh_leaf_size)
             packed_nodes, packed_tris = bvh_kernel.pack_bvh(tree, v0, v1, v2)
             bvh_arrays = dict(
                 bvh_node_min=f(tree.node_min, tree.node_min.shape),
@@ -497,7 +505,7 @@ class SceneBuilder:
             background=f(self.background, (3,)),
             **bvh_arrays,
             n_spheres=ns, n_rects=nr, n_triangles=nt, n_media=nm,
-            n_bvh_nodes=n_bvh,
+            n_bvh_nodes=n_bvh, bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),
             use_pallas_bvh=use_pallas,

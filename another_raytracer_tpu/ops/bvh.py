@@ -20,7 +20,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from another_raytracer_tpu.models.bvh import LEAF_SIZE
 from another_raytracer_tpu.ops import vec3
 from another_raytracer_tpu.ops.intersect import BIG, _col3
 from another_raytracer_tpu.ops.vec3 import V3
@@ -59,6 +58,7 @@ def traverse_triangles(scene, o: V3, d: V3, t_min, init_t, init_idx):
     """
     B = o.x.shape[0]
     n_nodes = scene.bvh_node_min.shape[0]
+    leaf_size = scene.bvh_leaf_size
 
     # Slab-test precomputation (aabb.h:16-29): signed-epsilon divide guard
     # keeps lanes finite for axis-parallel rays.
@@ -93,7 +93,7 @@ def traverse_triangles(scene, o: V3, d: V3, t_min, init_t, init_idx):
         first = scene.bvh_leaf_first[ii]
         is_leaf = count > 0
         do_leaf = hit_box & is_leaf
-        for k in range(LEAF_SIZE):
+        for k in range(leaf_size):
             pid = scene.bvh_prim_order[
                 jnp.minimum(first + k, scene.bvh_prim_order.shape[0] - 1)
             ]

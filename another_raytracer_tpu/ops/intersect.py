@@ -380,6 +380,7 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
                 t, idx, improved = bvh_kernel.bvh_closest_hit(
                     scene.bvh_packed_nodes, scene.bvh_packed_tris,
                     o, d, bt, bi, t_min=t_min if isinstance(t_min, float) else 1e-3,
+                    leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
                 )
             else:
                 from another_raytracer_tpu.ops import bvh as bvh_ops

@@ -20,8 +20,8 @@ blocks skip most of the tree; fully incoherent blocks degrade to a linear
 sweep of nodes whose per-node cost is a handful of VPU ops.
 
 Node row layout ([M, 8] f32):
-  0..2 box min, 3..5 box max, 6 escape index, 7 leaf_meta = first*32 + count
-  (exact in f32 for first < 2^18; internal nodes have count = 0).
+  0..2 box min, 3..5 box max, 6 escape index, 7 leaf_meta = first*64 + count
+  (exact in f32 for first < 2^17; internal nodes have count = 0).
 Triangle row layout ([N, 16] f32): v0 xyz, v1 xyz, v2 xyz, original id.
 """
 
@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from another_raytracer_tpu.models.bvh import FlatBVH
 
-LEAF_SIZE = 8  # must match models/bvh.py
+LEAF_SIZE = 8  # default; the actual leaf size is a kernel static arg
+META_SCALE = 64  # leaf_meta = first * META_SCALE + count; count < META_SCALE
 DEFAULT_BLOCK = 1024
 BIG = 3e37
 
@@ -56,11 +57,13 @@ def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
     nodes[:, 0:3] = tree.node_min
     nodes[:, 3:6] = tree.node_max
     nodes[:, 6] = tree.escape
-    nodes[:, 7] = tree.leaf_first * 32 + tree.leaf_count
+    assert tree.leaf_count.max() < META_SCALE
+    nodes[:, 7] = tree.leaf_first * META_SCALE + tree.leaf_count
 
     order = tree.prim_order
     n = order.shape[0]
-    tris = np.zeros((n + LEAF_SIZE, 16), np.float32)  # pad for leaf slices
+    pad = max(int(tree.leaf_count.max()), 1)
+    tris = np.zeros((n + pad, 16), np.float32)  # pad for leaf slices
     tris[:n, 0:3] = np.asarray(tri_v0)[order]
     tris[:n, 3:6] = np.asarray(tri_v1)[order]
     tris[:n, 6:9] = np.asarray(tri_v2)[order]
@@ -70,7 +73,8 @@ def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
 
 def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             esc_ref, meta_ref, tris_ref, ox, oy, oz, dx, dy, dz,
-            t0_ref, i0_ref, out_t, out_i, out_hit, *, n_nodes, t_min):
+            t0_ref, i0_ref, out_t, out_i, out_hit, *, n_nodes, t_min,
+            leaf_size):
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -94,40 +98,56 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         return tn < tf
 
     def tri_test(base, k, best_t):
-        """Vector test of leaf triangle k (rows are leaf-ordered)."""
+        """Vector test of leaf triangle k (rows are leaf-ordered).
+
+        Per-triangle geometry (normal, edge half-plane coefficients) is pure
+        SCALAR arithmetic — the scalar unit computes it concurrently with the
+        VPU — so the vector work per (triangle, block) is only the ops that
+        touch o/d/p.  The edge test uses the triple-product identity
+        n . ((b-a) x (p-a)) = p . m - a . m with m = n x (b-a): three
+        multiply-adds + a compare per edge instead of a per-lane cross
+        product (~1.7x fewer vector ops than the direct form; same sign,
+        rounding differs at ulp level)."""
         row = base + k
         v0 = (tris_ref[row, 0], tris_ref[row, 1], tris_ref[row, 2])
         v1 = (tris_ref[row, 3], tris_ref[row, 4], tris_ref[row, 5])
         v2 = (tris_ref[row, 6], tris_ref[row, 7], tris_ref[row, 8])
         oid = tris_ref[row, 9]
 
-        e1 = (v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2])
-        e2 = (v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2])
-        n = (
-            e1[1] * e2[2] - e1[2] * e2[1],
-            e1[2] * e2[0] - e1[0] * e2[2],
-            e1[0] * e2[1] - e1[1] * e2[0],
-        )
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        def sub(a, b):
+            return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+        def sdot(a, b):  # scalar . scalar
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        # --- scalar per-triangle precompute ---
+        n = cross(sub(v1, v0), sub(v2, v0))
+        ndotv0 = sdot(n, v0)
+        m0 = cross(n, sub(v1, v0))
+        m1 = cross(n, sub(v2, v1))
+        m2 = cross(n, sub(v0, v2))
+        c0 = sdot(m0, v0)
+        c1 = sdot(m1, v1)
+        c2 = sdot(m2, v2)
+
+        # --- vector part ---
         ndotd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
-        ndotv0 = n[0] * v0[0] + n[1] * v0[1] + n[2] * v0[2]
         ndoto = n[0] * o[0] + n[1] * o[1] + n[2] * o[2]
         ok = ndotd != 0.0
         t = jnp.where(ok, (ndotv0 - ndoto) / jnp.where(ok, ndotd, 1.0), BIG)
         p = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
 
-        def edge(a, bvert):
-            e = (bvert[0] - a[0], bvert[1] - a[1], bvert[2] - a[2])
-            pa = (p[0] - a[0], p[1] - a[1], p[2] - a[2])
-            c = (
-                e[1] * pa[2] - e[2] * pa[1],
-                e[2] * pa[0] - e[0] * pa[2],
-                e[0] * pa[1] - e[1] * pa[0],
-            )
-            return n[0] * c[0] + n[1] * c[1] + n[2] * c[2]
+        def edge(m, c):
+            return p[0] * m[0] + p[1] * m[1] + p[2] * m[2] >= c
 
         valid = (
-            ok & (edge(v0, v1) >= 0.0) & (edge(v1, v2) >= 0.0)
-            & (edge(v2, v0) >= 0.0) & (t > t_min) & (t < best_t)
+            ok & edge(m0, c0) & edge(m1, c1) & edge(m2, c2)
+            & (t > t_min) & (t < best_t)
         )
         return t, valid, oid
 
@@ -144,8 +164,8 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         hit_box = slab(j, best_t)
         any_hit = jnp.any(hit_box)
         meta = meta_ref[j]
-        count = jax.lax.rem(meta, 32)
-        first = jax.lax.div(meta, 32)
+        count = jax.lax.rem(meta, META_SCALE)
+        first = jax.lax.div(meta, META_SCALE)
         esc = esc_ref[j]
 
         @pl.when(any_hit & (count > 0))
@@ -153,7 +173,7 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             bt = out_t[:]
             bi = out_i[:]
             hh = out_hit[:]
-            for k in range(LEAF_SIZE):
+            for k in range(leaf_size):
                 t, valid, oid = tri_test(first, k, bt)
                 valid = valid & (k < count) & hit_box
                 bt = jnp.where(valid, t, bt)
@@ -169,10 +189,10 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "t_min", "interpret")
+    jax.jit, static_argnames=("block", "t_min", "interpret", "leaf_size")
 )
 def bvh_closest_hit(nodes, tris, o, d, init_t, init_idx, *, block=DEFAULT_BLOCK,
-                    t_min=1e-3, interpret=False):
+                    t_min=1e-3, interpret=False, leaf_size=LEAF_SIZE):
     """Packet-traversal closest hit.
 
     Args:
@@ -214,7 +234,8 @@ def bvh_closest_hit(nodes, tris, o, d, init_t, init_idx, *, block=DEFAULT_BLOCK,
     )
 
     out_t, out_i, out_hit = pl.pallas_call(
-        functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min),
+        functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min,
+                          leaf_size=leaf_size),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B + pad,), jnp.float32),
