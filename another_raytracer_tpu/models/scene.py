@@ -170,10 +170,10 @@ class SceneData:
     use_pallas_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     # Triangles per BVH leaf (build-time choice; the traversal unrolls this
     # many masked tests per visited leaf).
-    bvh_leaf_size: int = flax.struct.field(pytree_node=False, default=8)
+    bvh_leaf_size: int = flax.struct.field(pytree_node=False, default=16)
     # Rays per packet-kernel block (must be a multiple of 1024 for Mosaic's
     # 1D layout tiling).
-    bvh_block: int = flax.struct.field(pytree_node=False, default=1024)
+    bvh_block: int = flax.struct.field(pytree_node=False, default=2048)
     # Any motion-blurred (moving) sphere present?  When False, ray time
     # cannot affect radiance, so the camera skips the shutter-time threefry
     # draw (draws are keyed per-purpose lanes; skipping one never shifts
@@ -383,7 +383,9 @@ class SceneBuilder:
     BVH_AUTO_THRESHOLD = 64
 
     def build(self, dtype=jnp.float32, bvh="auto", pallas_bvh="auto",
-              bvh_leaf_size: int = 8, bvh_block: int = 1024) -> SceneData:
+              bvh_leaf_size: int = 16, bvh_block: int = 2048) -> SceneData:
+        # leaf=16/block=2048 measured best on the capsule mesh (v5e, in-process
+        # A/B scripts/ab_bvh_leaf.py: 85.8 ms vs 98.2 at leaf8/blk1024).
         f = lambda x, shape: (  # noqa: E731
             jnp.asarray(np.asarray(x, np.float64).reshape(shape), dtype)
         )
