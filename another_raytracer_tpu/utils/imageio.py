@@ -25,28 +25,111 @@ def load_image(path) -> "np.ndarray | None":
     import warnings
 
     exists = os.path.exists(path)
+    if not exists:
+        return None
+
+    pil_error = None
     try:
         from PIL import Image
+
+        try:
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"), np.float64) / 255.0
+        except Exception as e:  # decode failure; try the native decoders
+            pil_error = e
     except ImportError:
-        if exists:
-            warnings.warn(
-                f"image file {path!r} exists but PIL is unavailable; "
-                "falling back to the solid-cyan texture (the reference "
-                "would have decoded this file)",
-                RuntimeWarning, stacklevel=2,
-            )
-        return None
-    try:
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), np.float64) / 255.0
-    except Exception as e:
-        if exists:
-            warnings.warn(
-                f"image file {path!r} exists but failed to decode ({e}); "
-                "falling back to the solid-cyan texture",
-                RuntimeWarning, stacklevel=2,
-            )
-        return None
+        pass
+
+    # Native/stdlib decoders (PIL-free path — the stb_image role):
+    # native/jpegdec.cpp handles baseline + progressive JPEG (both reference
+    # assets); _decode_png handles our own PNG output.
+    head = open(path, "rb").read(8)
+    if head[:2] == b"\xff\xd8":
+        from another_raytracer_tpu.utils import native
+
+        arr = native.decode_jpeg(path)
+        if arr is not None:
+            return arr.astype(np.float64) / 255.0
+    if head == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png(open(path, "rb").read()).astype(np.float64) / 255.0
+        except Exception as e:
+            pil_error = pil_error or e
+
+    warnings.warn(
+        f"image file {path!r} exists but could not be decoded"
+        + (f" ({pil_error})" if pil_error else " (no decoder for this format)")
+        + "; falling back to the solid-cyan texture (the reference's "
+        "stb_image would have decoded a valid file)",
+        RuntimeWarning, stacklevel=2,
+    )
+    return None
+
+
+def _decode_png(data: bytes) -> "np.ndarray":
+    """Minimal stdlib PNG decoder: 8-bit gray/RGB/RGBA, all five filter
+    types, no interlacing — enough to read back anything `_encode_png` (or a
+    typical screenshot tool) writes without PIL."""
+    import struct
+    import zlib
+
+    pos = 8
+    idat = b""
+    w = h = None
+    color_type = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or interlace:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if nchan is None:
+                raise ValueError("palette PNG not supported")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * nchan
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    p = 0
+    for row in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int64)
+        p += 1 + stride
+        cur = np.zeros(stride, np.int64)
+        for i in range(stride):
+            a = cur[i - nchan] if i >= nchan else 0
+            b = prev[i]
+            c = prev[i - nchan] if i >= nchan else 0
+            x = line[i]
+            if f == 1:
+                x += a
+            elif f == 2:
+                x += b
+            elif f == 3:
+                x += (a + b) // 2
+            elif f == 4:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                x += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = x & 0xFF
+        out[row] = cur
+        prev = cur
+    img = out.reshape(h, w, nchan)
+    if nchan == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif nchan == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    else:
+        img = img[..., :3]
+    return img
 
 
 def _encode_png(img: "np.ndarray") -> bytes:

@@ -50,6 +50,15 @@ def _load():
                 lib.artpu_mesh_material.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
                 lib.artpu_mesh_free.restype = None
                 lib.artpu_mesh_free.argtypes = [ctypes.c_void_p]
+                if hasattr(lib, "artpu_decode_jpeg"):
+                    lib.artpu_decode_jpeg.restype = ctypes.c_void_p
+                    lib.artpu_decode_jpeg.argtypes = [
+                        ctypes.c_char_p,
+                        ctypes.POINTER(ctypes.c_int),
+                        ctypes.POINTER(ctypes.c_int),
+                    ]
+                    lib.artpu_image_free.restype = None
+                    lib.artpu_image_free.argtypes = [ctypes.c_void_p]
                 _lib = lib
                 break
             except OSError:
@@ -100,3 +109,22 @@ def parse_obj(path) -> Optional[tuple]:
         return tri_pos, tri_uv, tri_mat, materials
     finally:
         lib.artpu_mesh_free(handle)
+
+
+def decode_jpeg(path) -> "Optional[np.ndarray]":
+    """Decode a JPEG via the native decoder (native/jpegdec.cpp — baseline +
+    progressive, the stb_image role).  Returns [h, w, 3] uint8 or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "artpu_decode_jpeg"):
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    ptr = lib.artpu_decode_jpeg(str(path).encode(), ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        return None
+    try:
+        n = w.value * h.value * 3
+        buf = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_ubyte * n)).contents
+        return np.frombuffer(bytes(buf), np.uint8).reshape(h.value, w.value, 3).copy()
+    finally:
+        lib.artpu_image_free(ptr)
