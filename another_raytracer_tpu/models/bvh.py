@@ -93,8 +93,29 @@ def build(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = LEAF_SIZE) -> Fla
     )
 
 
+# Flat-primitive AABB padding.  The slab test is strict (tn < tf), so a
+# zero-extent axis (an axis-aligned rect/triangle) would make its own box
+# unhittable; the reference pads rect boxes the same way (aarect.h k±0.0001).
+FLAT_PAD = 1e-4
+
+
+def pad_flat(mins, maxs):
+    thin = (maxs - mins) < FLAT_PAD
+    return np.where(thin, mins - FLAT_PAD, mins), np.where(thin, maxs + FLAT_PAD, maxs)
+
+
 def triangle_bounds(v0, v1, v2):
-    """Per-triangle AABBs (triangle.h:90-95)."""
+    """Per-triangle AABBs (triangle.h:90-95), padded on flat axes."""
     mins = np.minimum(np.minimum(v0, v1), v2)
     maxs = np.maximum(np.maximum(v0, v1), v2)
+    return pad_flat(mins, maxs)
+
+
+def sphere_bounds(c0, c1, r):
+    """Per-sphere AABBs: hull of the t0/t1 balls (the lerped center stays on
+    the segment, moving_sphere.h:60-74); |r| handles the reference's
+    negative-radius hollow dielectrics."""
+    r = np.abs(np.asarray(r, np.float64))[:, None]
+    mins = np.minimum(c0, c1) - r
+    maxs = np.maximum(c0, c1) + r
     return mins, maxs

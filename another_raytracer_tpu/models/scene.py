@@ -150,9 +150,14 @@ class SceneData:
     bvh_leaf_count: jnp.ndarray  # [M] int32
     bvh_prim_order: jnp.ndarray  # [Nt] int32
     # Pallas packet-traversal packing (ops/pallas/bvh_kernel.py): nodes as
-    # [M,8] f32 rows, triangles leaf-ordered as [N+pad,16] f32 rows.
+    # [M,8] f32 rows, primitives leaf-ordered as [N+pad,16] f32 rows.  The
+    # planar tree mixes triangles and accelerated rects (each rect split
+    # into two world-space triangles for the winner search only; rows carry
+    # id*4+kind codes).  The sphere tree holds world-baked centers.
     bvh_packed_nodes: jnp.ndarray  # [M,8]
     bvh_packed_tris: jnp.ndarray  # [N+pad,16]
+    sph_bvh_nodes: jnp.ndarray  # [Ms,8]
+    sph_bvh_rows: jnp.ndarray  # [Ns+pad,16]
 
     # --- static (non-pytree) metadata -------------------------------------
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)
@@ -160,6 +165,13 @@ class SceneData:
     n_triangles: int = flax.struct.field(pytree_node=False, default=0)
     n_media: int = flax.struct.field(pytree_node=False, default=0)
     n_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    n_sph_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    # Which kinds the winner search resolves through a BVH instead of the
+    # linear [B, N] sweep (ops/intersect.closest_hit skips the corresponding
+    # sweep).  Static so they key the jit cache.
+    tri_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    rect_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    sph_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     # Which material/texture kinds actually appear — lets shading evaluate
     # only the code paths a scene uses (a Cornell box pays nothing for
     # Perlin-noise gathers or dielectric refraction math).
@@ -184,6 +196,11 @@ class SceneData:
     def num_primitives(self) -> int:
         return self.n_spheres + self.n_rects + self.n_triangles + self.n_media
 
+    @property
+    def has_accel(self) -> bool:
+        """Any BVH present — rays should be traced in Morton order."""
+        return bool(self.n_bvh_nodes or self.n_sph_bvh_nodes)
+
 
 @dataclasses.dataclass
 class _Image:
@@ -196,6 +213,40 @@ def rotation_y(degrees: float) -> np.ndarray:
     t = math.radians(degrees)
     c, s = math.cos(t), math.sin(t)
     return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], dtype=np.float64)
+
+
+def _rect_quads(rects, rots, trans):
+    """Axis-rects -> two WORLD-space triangles each, for the planar BVH's
+    winner search.  Corners are computed in object space with the same
+    free-axis order as ops/intersect._rect_t (axis 0 -> (1,2), 1 -> (0,2),
+    2 -> (0,1)) and baked through the rect's world-from-object transform —
+    exact for rigid transforms.  Returns (v0, v1, v2 [2N,3], codes [2N]);
+    both triangles of rect i carry code i*4 + PRIM_RECT, so the traversal's
+    winner decodes straight to the rect id and the differentiable hit-record
+    recompute runs on the original rect parameterization."""
+    n = len(rects)
+    v0 = np.zeros((2 * n, 3))
+    v1 = np.zeros((2 * n, 3))
+    v2 = np.zeros((2 * n, 3))
+    codes = np.zeros((2 * n,), np.int64)
+    for i, (axis, k, lo, hi, _mat, xf) in enumerate(rects):
+        au = 1 if axis == 0 else 0
+        av = 1 if axis == 2 else 2
+        rot, tr = rots[xf], trans[xf]
+
+        def pt(u, v):
+            p = np.zeros(3)
+            p[axis] = k
+            p[au] = u
+            p[av] = v
+            return rot @ p + tr
+
+        p00, p10 = pt(lo[0], lo[1]), pt(hi[0], lo[1])
+        p11, p01 = pt(hi[0], hi[1]), pt(lo[0], hi[1])
+        v0[2 * i], v1[2 * i], v2[2 * i] = p00, p10, p11
+        v0[2 * i + 1], v1[2 * i + 1], v2[2 * i + 1] = p00, p11, p01
+        codes[2 * i] = codes[2 * i + 1] = i * 4 + PRIM_RECT
+    return v0, v1, v2, codes
 
 
 class SceneBuilder:
@@ -381,9 +432,17 @@ class SceneBuilder:
 
     # Build a triangle BVH when the mesh is at least this large ('auto').
     BVH_AUTO_THRESHOLD = 64
+    # Accelerate rects / spheres through a BVH above these counts ('auto').
+    # Small scenes stay on the one-[B,N]-sweep path, which is measured
+    # optimal at N=18 (CLAUDE.md perf rule #5); the final scene's 2,401
+    # rects + 1,006 spheres measured 0.79 Mrays/s on the linear sweep
+    # (scripts/final_perf.py) — ~100x below the BVH'd mesh scene.
+    RECT_BVH_THRESHOLD = 64
+    SPHERE_BVH_THRESHOLD = 64
 
     def build(self, dtype=jnp.float32, bvh="auto", pallas_bvh="auto",
-              bvh_leaf_size: int = 16, bvh_block: int = 2048) -> SceneData:
+              bvh_leaf_size: int = 16, bvh_block: int = 2048,
+              rect_bvh="auto", sphere_bvh="auto") -> SceneData:
         # leaf=16/block=2048 measured best on the capsule mesh (v5e, in-process
         # A/B scripts/ab_bvh_leaf.py: 85.8 ms vs 98.2 at leaf8/blk1024).
         f = lambda x, shape: (  # noqa: E731
@@ -431,25 +490,77 @@ class SceneBuilder:
         rots = np.stack([x[0] for x in self._xforms])
         trans = np.stack([x[1] for x in self._xforms])
 
-        # Triangle BVH (host build, models/bvh.py).  Requires identity
-        # triangle transforms — true for all mesh scenes; instanced triangle
-        # sets fall back to the linear path.
+        # --- BVH acceleration (host build, models/bvh.py) -----------------
+        # Planar tree: triangles (identity transforms only — true for all
+        # mesh scenes; instanced triangle sets fall back to the sweep) plus
+        # accelerated rects, each baked to two WORLD-space triangles for the
+        # winner search (any rigid transform is exact on the corners; the
+        # hit record is recomputed from the original rect parameters).
+        # Sphere tree: world-baked centers — a rigid transform maps a sphere
+        # to a sphere and the center lerp commutes with the affine map, so
+        # the t values equal the object-space test's.
         want_bvh = (bvh is True) or (bvh == "auto" and nt >= self.BVH_AUTO_THRESHOLD)
         tri_xf_all_identity = nt == 0 or all(int(x[7]) == 0 for x in self._tris)
+        tri_in_bvh = want_bvh and nt > 0 and tri_xf_all_identity
+        rect_in_bvh = nr > 0 and (
+            rect_bvh is True
+            or (rect_bvh == "auto" and bvh is not False
+                and nr >= self.RECT_BVH_THRESHOLD)
+        )
+        sph_in_bvh = ns > 0 and (
+            sphere_bvh is True
+            or (sphere_bvh == "auto" and bvh is not False
+                and ns >= self.SPHERE_BVH_THRESHOLD)
+        )
+
         use_pallas = False
-        if want_bvh and nt > 0 and tri_xf_all_identity:
+        if tri_in_bvh or rect_in_bvh or sph_in_bvh:
             import jax as _jax
 
+            if pallas_bvh == "auto":
+                # The Mosaic kernel targets real TPUs; the XLA lockstep
+                # traversal serves CPU runs (interpret mode is debug-only).
+                use_pallas = _jax.default_backend() not in ("cpu",)
+            else:
+                use_pallas = bool(pallas_bvh)
+
+        z3 = jnp.zeros((0, 3), dtype)
+        zi = jnp.zeros((0,), jnp.int32)
+        bvh_arrays = dict(
+            bvh_node_min=z3, bvh_node_max=z3, bvh_escape=zi,
+            bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
+            bvh_packed_nodes=jnp.zeros((0, 8), dtype),
+            bvh_packed_tris=jnp.zeros((0, 16), dtype),
+            sph_bvh_nodes=jnp.zeros((0, 8), dtype),
+            sph_bvh_rows=jnp.zeros((0, 16), dtype),
+        )
+        n_bvh = 0
+        n_sph_bvh = 0
+        if tri_in_bvh or rect_in_bvh:
             from another_raytracer_tpu.models import bvh as bvh_lib
             from another_raytracer_tpu.ops.pallas import bvh_kernel
 
-            v0 = np.stack(tri[0]).reshape(nt, 3)
-            v1 = np.stack(tri[1]).reshape(nt, 3)
-            v2 = np.stack(tri[2]).reshape(nt, 3)
+            pv0, pv1, pv2, pcodes = [], [], [], []
+            if tri_in_bvh:
+                pv0.append(np.stack(tri[0]).reshape(nt, 3))
+                pv1.append(np.stack(tri[1]).reshape(nt, 3))
+                pv2.append(np.stack(tri[2]).reshape(nt, 3))
+                pcodes.append(np.arange(nt, dtype=np.int64) * 4 + PRIM_TRIANGLE)
+            if rect_in_bvh:
+                qv0, qv1, qv2, qcodes = _rect_quads(self._rects, rots, trans)
+                pv0.append(qv0)
+                pv1.append(qv1)
+                pv2.append(qv2)
+                pcodes.append(qcodes)
+            v0 = np.concatenate(pv0)
+            v1 = np.concatenate(pv1)
+            v2 = np.concatenate(pv2)
+            codes = np.concatenate(pcodes)
             tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2),
                                  leaf_size=bvh_leaf_size)
-            packed_nodes, packed_tris = bvh_kernel.pack_bvh(tree, v0, v1, v2)
-            bvh_arrays = dict(
+            packed_nodes, packed_rows = bvh_kernel.pack_planar(
+                tree, v0, v1, v2, codes)
+            bvh_arrays.update(
                 bvh_node_min=f(tree.node_min, tree.node_min.shape),
                 bvh_node_max=f(tree.node_max, tree.node_max.shape),
                 bvh_escape=jnp.asarray(tree.escape),
@@ -457,25 +568,30 @@ class SceneBuilder:
                 bvh_leaf_count=jnp.asarray(tree.leaf_count),
                 bvh_prim_order=jnp.asarray(tree.prim_order),
                 bvh_packed_nodes=jnp.asarray(packed_nodes),
-                bvh_packed_tris=jnp.asarray(packed_tris),
+                bvh_packed_tris=jnp.asarray(packed_rows),
             )
             n_bvh = tree.num_nodes
-            if pallas_bvh == "auto":
-                # The Mosaic kernel targets real TPUs; the XLA lockstep
-                # traversal serves CPU runs (interpret mode is debug-only).
-                use_pallas = _jax.default_backend() not in ("cpu",)
-            else:
-                use_pallas = bool(pallas_bvh)
-        else:
-            z3 = jnp.zeros((0, 3), dtype)
-            zi = jnp.zeros((0,), jnp.int32)
-            bvh_arrays = dict(
-                bvh_node_min=z3, bvh_node_max=z3, bvh_escape=zi,
-                bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
-                bvh_packed_nodes=jnp.zeros((0, 8), dtype),
-                bvh_packed_tris=jnp.zeros((0, 16), dtype),
+        if sph_in_bvh:
+            from another_raytracer_tpu.models import bvh as bvh_lib
+            from another_raytracer_tpu.ops.pallas import bvh_kernel
+
+            c0 = np.stack(sph[0]).reshape(ns, 3)
+            c1 = np.stack(sph[1]).reshape(ns, 3)
+            t0s = np.asarray(sph[2], np.float64)
+            t1s = np.asarray(sph[3], np.float64)
+            rr = np.asarray(sph[4], np.float64)
+            xfi = np.asarray(sph[6], np.int64)
+            c0w = np.einsum("nij,nj->ni", rots[xfi], c0) + trans[xfi]
+            c1w = np.einsum("nij,nj->ni", rots[xfi], c1) + trans[xfi]
+            tree_s = bvh_lib.build(*bvh_lib.sphere_bounds(c0w, c1w, rr),
+                                   leaf_size=bvh_leaf_size)
+            sph_nodes, sph_rows = bvh_kernel.pack_spheres(
+                tree_s, c0w, c1w, t0s, t1s, rr)
+            bvh_arrays.update(
+                sph_bvh_nodes=jnp.asarray(sph_nodes),
+                sph_bvh_rows=jnp.asarray(sph_rows),
             )
-            n_bvh = 0
+            n_sph_bvh = tree_s.num_nodes
 
         return SceneData(
             sph_c0=f(sph[0], (ns, 3)), sph_c1=f(sph[1], (ns, 3)),
@@ -507,7 +623,10 @@ class SceneBuilder:
             background=f(self.background, (3,)),
             **bvh_arrays,
             n_spheres=ns, n_rects=nr, n_triangles=nt, n_media=nm,
-            n_bvh_nodes=n_bvh, bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,
+            n_bvh_nodes=n_bvh, n_sph_bvh_nodes=n_sph_bvh,
+            tri_in_bvh=tri_in_bvh, rect_in_bvh=rect_in_bvh,
+            sph_in_bvh=sph_in_bvh,
+            bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),
             use_pallas_bvh=use_pallas,

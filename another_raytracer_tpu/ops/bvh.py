@@ -1,17 +1,24 @@
-"""Stackless BVH traversal on device.
+"""Stackless BVH traversal on device (pure XLA; the CPU/fallback twin of the
+Pallas packet kernel in ops/pallas/bvh_kernel.py).
 
 Replaces the reference's recursive shared_ptr tree walk (bvh.cpp:44-52) with
 a lockstep wavefront over the flat escape-index layout built host-side
 (models/bvh.py): every ray carries a node pointer; one ``lax.while_loop``
 iteration performs the slab test (aabb.h:16-29 semantics) for all rays at
 once, advances hit rays into the subtree (``i+1``) and missed rays past it
-(``escape[i]``), and resolves leaf hits with up-to-LEAF_SIZE gathered
-triangle tests.  t_max shrinks to the best hit so far, so subtree culling
+(``escape[i]``), and resolves leaf hits with up-to-leaf_size gathered
+primitive tests.  t_max shrinks to the best hit so far, so subtree culling
 tightens as traversal proceeds.
+
+Operates directly on the *packed* arrays ([M,8] nodes, [N+pad,16] leaf-ordered
+primitive rows — see bvh_kernel's row formats): leaves are contiguous row
+runs, so each leaf test is ONE [B,16] row gather instead of per-column
+gathers (CLAUDE.md perf rule #8), and the packed id code in slot 9 carries
+(within-kind id, kind) for mixed planar trees.
 
 The while_loop has no reverse-mode rule, but that doesn't matter: the winner
 search is a detached discrete decision — ``make_hit_record`` recomputes the
-winning triangle's t differentiably (ops/intersect.py), so BVH renders are
+winning primitive's t differentiably (ops/intersect.py), so BVH renders are
 fully gradient-capable.
 """
 
@@ -20,52 +27,80 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from another_raytracer_tpu.ops import vec3
-from another_raytracer_tpu.ops.intersect import BIG, _col3
+from another_raytracer_tpu.ops.intersect import BIG
 from another_raytracer_tpu.ops.vec3 import V3
 
-
-def _tri_t_gather(scene, idx, o: V3, d: V3, t_min, t_max):
-    """Single-triangle-per-ray test on gathered triangle ids ([B])."""
-    v0 = _col3(scene.tri_v0, idx)
-    v1 = _col3(scene.tri_v1, idx)
-    v2 = _col3(scene.tri_v2, idx)
-    n = vec3.cross(v1 - v0, v2 - v0)
-    ndotd = vec3.dot(n, d)
-    ok = ndotd != 0.0
-    t = jnp.where(
-        ok, (vec3.dot(n, v0) - vec3.dot(n, o)) / jnp.where(ok, ndotd, 1.0), BIG
-    )
-    p = o + d * t
-    w0 = vec3.dot(n, vec3.cross(v1 - v0, p - v0))
-    w1 = vec3.dot(n, vec3.cross(v2 - v1, p - v1))
-    w2 = vec3.dot(n, vec3.cross(v0 - v2, p - v2))
-    valid = ok & (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (t > t_min) & (t < t_max)
-    return t, valid
+META_SCALE = 64  # keep in sync with bvh_kernel.META_SCALE
 
 
-def traverse_triangles(scene, o: V3, d: V3, t_min, init_t, init_idx):
-    """Closest triangle hit via BVH.
+def traverse_packed(nodes, rows, o: V3, d: V3, time, t_min, init_t, init_idx,
+                    *, leaf_size: int, prim: str = "planar"):
+    """Closest hit via packed BVH (XLA lockstep; per-ray node cursors).
 
     Args:
-      scene: SceneData with bvh_* arrays populated (identity transforms only
-        — the builder enforces this).
+      nodes: [M,8] packed nodes (bvh_kernel.pack_nodes layout).
+      rows: [N+pad,16] leaf-ordered primitive rows ('planar' or 'sphere'
+        format, bvh_kernel docstring).
       o, d: V3 world rays ([B] components).
+      time: [B] ray times (sphere center lerp; ignored for planar).
       init_t, init_idx: running best (from other primitive kinds).
+      leaf_size: must equal the build-time leaf size.
 
-    Returns (t [B], idx [B], improved [B]) — idx is a triangle index where
-    ``improved`` (a triangle beat init_t), else the original init value.
+    Returns (t [B], code [B] int32 — rows slot 9 where improved, else the
+    init value —, improved [B] bool).
     """
     B = o.x.shape[0]
-    n_nodes = scene.bvh_node_min.shape[0]
-    leaf_size = scene.bvh_leaf_size
+    n_nodes = nodes.shape[0]
+    n_rows = rows.shape[0]
+    esc_col = nodes[:, 6].astype(jnp.int32)
+    meta_col = nodes[:, 7].astype(jnp.int32)
 
-    # Slab-test precomputation (aabb.h:16-29): signed-epsilon divide guard
-    # keeps lanes finite for axis-parallel rays.
     def safe_inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
 
     inv_d = V3(safe_inv(d.x), safe_inv(d.y), safe_inv(d.z))
+    if prim == "sphere":
+        a_vec = d.x * d.x + d.y * d.y + d.z * d.z
+        inv_a = 1.0 / jnp.where(a_vec > 0.0, a_vec, 1.0)
+
+    def planar_test(r, best_t):
+        v0 = V3(r[:, 0], r[:, 1], r[:, 2])
+        v1 = V3(r[:, 3], r[:, 4], r[:, 5])
+        v2 = V3(r[:, 6], r[:, 7], r[:, 8])
+        from another_raytracer_tpu.ops import vec3
+
+        n = vec3.cross(v1 - v0, v2 - v0)
+        ndotd = vec3.dot(n, d)
+        ok = ndotd != 0.0
+        t = jnp.where(
+            ok, (vec3.dot(n, v0) - vec3.dot(n, o)) / jnp.where(ok, ndotd, 1.0), BIG
+        )
+        p = o + d * t
+        w0 = vec3.dot(n, vec3.cross(v1 - v0, p - v0))
+        w1 = vec3.dot(n, vec3.cross(v2 - v1, p - v1))
+        w2 = vec3.dot(n, vec3.cross(v0 - v2, p - v2))
+        valid = ok & (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (t > t_min) & (t < best_t)
+        return t, valid
+
+    def sphere_test(r, best_t):
+        frac = (time - r[:, 6]) * r[:, 7]
+        ocx = o.x - (r[:, 0] + frac * r[:, 3])
+        ocy = o.y - (r[:, 1] + frac * r[:, 4])
+        ocz = o.z - (r[:, 2] + frac * r[:, 5])
+        rad = r[:, 8]
+        half_b = ocx * d.x + ocy * d.y + ocz * d.z
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = half_b * half_b - a_vec * c
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        root1 = (-half_b - sq) * inv_a
+        root2 = (-half_b + sq) * inv_a
+        r1_ok = (root1 > t_min) & (root1 < best_t)
+        t = jnp.where(r1_ok, root1, root2)
+        valid = ok & (t > t_min) & (t < best_t)
+        return t, valid
+
+    prim_test = planar_test if prim == "planar" else sphere_test
 
     def cond(state):
         i, best_t, best_i, improved = state
@@ -75,8 +110,8 @@ def traverse_triangles(scene, o: V3, d: V3, t_min, init_t, init_idx):
         i, best_t, best_i, improved = state
         active = i < n_nodes
         ii = jnp.minimum(i, n_nodes - 1)
-        lo = _col3(scene.bvh_node_min, ii)
-        hi = _col3(scene.bvh_node_max, ii)
+        lo = V3(nodes[:, 0][ii], nodes[:, 1][ii], nodes[:, 2][ii])
+        hi = V3(nodes[:, 3][ii], nodes[:, 4][ii], nodes[:, 5][ii])
         tA = (lo - o) * inv_d
         tB = (hi - o) * inv_d
         tn = jnp.maximum(
@@ -89,21 +124,20 @@ def traverse_triangles(scene, o: V3, d: V3, t_min, init_t, init_idx):
         )
         hit_box = active & (jnp.maximum(tn, t_min) < jnp.minimum(tf, best_t))
 
-        count = scene.bvh_leaf_count[ii]
-        first = scene.bvh_leaf_first[ii]
+        meta = meta_col[ii]
+        count = jax.lax.rem(meta, META_SCALE)
+        first = jax.lax.div(meta, META_SCALE)
         is_leaf = count > 0
         do_leaf = hit_box & is_leaf
         for k in range(leaf_size):
-            pid = scene.bvh_prim_order[
-                jnp.minimum(first + k, scene.bvh_prim_order.shape[0] - 1)
-            ]
-            t, valid = _tri_t_gather(scene, pid, o, d, t_min, best_t)
+            r = rows[jnp.minimum(first + k, n_rows - 1)]  # [B,16] row gather
+            t, valid = prim_test(r, best_t)
             valid = valid & do_leaf & (k < count)
-            best_i = jnp.where(valid, pid, best_i)
+            best_i = jnp.where(valid, r[:, 9].astype(jnp.int32), best_i)
             improved = improved | valid
             best_t = jnp.where(valid, t, best_t)
 
-        i = jnp.where(active, jnp.where(hit_box, ii + 1, scene.bvh_escape[ii]), i)
+        i = jnp.where(active, jnp.where(hit_box, ii + 1, esc_col[ii]), i)
         return (i, best_t, best_i, improved)
 
     state = (

@@ -49,6 +49,25 @@ FUSE_SHADE = True
 # help in low-alive regimes like depth-50 defaults).
 ZERO_DEAD_DIRS = True
 
+# With the direction zeroed, a dead lane still carries its last hit point as
+# origin — a point INSIDE the scene's BVH boxes, and the slab test admits
+# any box containing the origin regardless of direction, so dead lanes kept
+# dragging packet traversal through the tree.  Parking the origin far
+# outside every canonical scene's bounds (|coords| <= ~5000; 1e8 still
+# squares safely in f32) makes every slab test fail, letting a mostly-dead
+# block escape each node in one compare.  Only the stop-gradient winner
+# search sees the parked origin; the differentiable hit-record recompute
+# keeps the real (o, d).
+DEAD_PARK = 1e8
+
+
+def _park_dead(alive, o: V3, d: V3):
+    if not ZERO_DEAD_DIRS:
+        return o, d
+    z = V3.zeros(alive.shape)
+    far = V3(z.x + DEAD_PARK, z.y + DEAD_PARK, z.z + DEAD_PARK)
+    return vec3.where(alive, o, far), vec3.where(alive, d, z)
+
 # Forward renders use the regenerating wavefront (trace_regenerative) instead
 # of the lockstep chunk scan.  A/B knob for scripts/ab_regen.py.
 REGEN_FORWARD = True
@@ -85,15 +104,16 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
     # which re-derives t differentiably from primitive parameters.
     sg = jax.lax.stop_gradient
     # Dead lanes keep their last ray in the lockstep carry; zero their
-    # directions so they miss every primitive/AABB instead of dragging real
-    # intersection work along.  For the packet-BVH kernel this is decisive:
-    # a block's traversal follows the union of its lanes' needs, so stale
-    # dead rays force full-tree walks (measured: the capsule mesh averages
-    # 1.8 segments/primary — most lanes are dead most bounces).  Results for
-    # dead lanes are discarded by the alive masks below either way.
-    d_live = vec3.where(alive, d, V3.zeros(alive.shape)) if ZERO_DEAD_DIRS else d
+    # directions and park their origins outside the scene so they miss every
+    # primitive/AABB instead of dragging real intersection work along.  For
+    # the packet-BVH kernel this is decisive: a block's traversal follows
+    # the union of its lanes' needs, so stale dead rays force full-tree
+    # walks (measured: the capsule mesh averages 1.8 segments/primary — most
+    # lanes are dead most bounces).  Results for dead lanes are discarded by
+    # the alive masks below either way.
+    o_live, d_live = _park_dead(alive, o, d)
     t, kind, idx = intersect.closest_hit(
-        sg(scene), sg(o), sg(d_live), sg(time), u_media, t_min
+        sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min
     )
     hit = (kind >= 0) & alive
 
@@ -209,8 +229,8 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
          segments) = state
 
         u_media = _media_uniforms(scene, pixel_ids, sample, bounce, seed)
-        d_live = vec3.where(alive, d, V3.zeros(alive.shape)) if ZERO_DEAD_DIRS else d
-        t, kind, idx = intersect.closest_hit(scene, o, d_live, time, u_media, t_min)
+        o_live, d_live = _park_dead(alive, o, d)
+        t, kind, idx = intersect.closest_hit(scene, o_live, d_live, time, u_media, t_min)
         hit = (kind >= 0) & alive
 
         miss_now = alive & ~hit

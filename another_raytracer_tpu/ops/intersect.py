@@ -348,10 +348,42 @@ def _scan_kind(best, n_total, chunk_fn, kind):
     return best
 
 
+def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim):
+    """Fold one packed BVH's winner into the running best.  The traversal
+    returns rows' slot-9 codes (id*4 + kind) for improved lanes and copies
+    the init value through otherwise, so the decode is gated on improved."""
+    bt, bk, bi = best
+    if scene.use_pallas_bvh:
+        from another_raytracer_tpu.ops.pallas import bvh_kernel
+
+        t, code, improved = bvh_kernel.bvh_closest_hit(
+            nodes, rows, o, d, bt, bi,
+            t_min=t_min if isinstance(t_min, float) else 1e-3,
+            leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
+            prim=prim, time=time,
+        )
+    else:
+        from another_raytracer_tpu.ops import bvh as bvh_ops
+
+        t, code, improved = bvh_ops.traverse_packed(
+            nodes, rows, o, d, time, t_min, bt, bi,
+            leaf_size=scene.bvh_leaf_size, prim=prim,
+        )
+    kind = jnp.where(improved, jax.lax.rem(code, 4), bk)
+    idx = jnp.where(improved, jax.lax.div(code, 4), bi)
+    return (t, kind, idx)
+
+
 def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
     """Closest intersection over all primitive kinds.
 
     Returns (t [B], kind [B] int32 with -1 = miss, idx [B] within-kind).
+
+    Kinds flagged ``*_in_bvh`` on the scene resolve through packet BVH
+    traversal (the reference BVHs its random-scene spheres and final-scene
+    ground boxes too, scene_manager.cpp:61,176,231); the rest go through the
+    chunked [B, N] sweeps.  BVH folds run first so their winner t tightens
+    the sweeps' t_max.
     """
     B = o.x.shape[0]
     best = (
@@ -359,40 +391,30 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
         jnp.full((B,), -1, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
-    if scene.n_spheres:
+    if scene.n_bvh_nodes:  # planar tree: triangles and/or rect quads
+        best = _fold_bvh(scene, best, scene.bvh_packed_nodes,
+                         scene.bvh_packed_tris, o, d, time, t_min, "planar")
+    if scene.n_sph_bvh_nodes:
+        best = _fold_bvh(scene, best, scene.sph_bvh_nodes,
+                         scene.sph_bvh_rows, o, d, time, t_min, "sphere")
+    if scene.n_spheres and not scene.sph_in_bvh:
         best = _scan_kind(
             best, scene.n_spheres,
             lambda sl: _sphere_t(scene, sl, o, d, time, t_min, best[0][:, None]),
             scene_lib.PRIM_SPHERE,
         )
-    if scene.n_rects:
+    if scene.n_rects and not scene.rect_in_bvh:
         best = _scan_kind(
             best, scene.n_rects,
             lambda sl: _rect_t(scene, sl, o, d, t_min, best[0][:, None]),
             scene_lib.PRIM_RECT,
         )
-    if scene.n_triangles:
-        if scene.n_bvh_nodes:
-            bt, bk, bi = best
-            if scene.use_pallas_bvh:
-                from another_raytracer_tpu.ops.pallas import bvh_kernel
-
-                t, idx, improved = bvh_kernel.bvh_closest_hit(
-                    scene.bvh_packed_nodes, scene.bvh_packed_tris,
-                    o, d, bt, bi, t_min=t_min if isinstance(t_min, float) else 1e-3,
-                    leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
-                )
-            else:
-                from another_raytracer_tpu.ops import bvh as bvh_ops
-
-                t, idx, improved = bvh_ops.traverse_triangles(scene, o, d, t_min, bt, bi)
-            best = (t, jnp.where(improved, scene_lib.PRIM_TRIANGLE, bk), idx)
-        else:
-            best = _scan_kind(
-                best, scene.n_triangles,
-                lambda sl: _triangle_t(scene, sl, o, d, t_min, best[0][:, None]),
-                scene_lib.PRIM_TRIANGLE,
-            )
+    if scene.n_triangles and not scene.tri_in_bvh:
+        best = _scan_kind(
+            best, scene.n_triangles,
+            lambda sl: _triangle_t(scene, sl, o, d, t_min, best[0][:, None]),
+            scene_lib.PRIM_TRIANGLE,
+        )
     if scene.n_media:
         t, valid = _medium_t(scene, o, d, u_media, t_min, best[0][:, None])
         best = _fold_kind(best, t, valid, scene_lib.PRIM_MEDIUM, jnp.int32(0))

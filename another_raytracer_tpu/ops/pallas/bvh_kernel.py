@@ -1,28 +1,42 @@
-"""Pallas TPU kernel: packet (speculative) BVH traversal over triangles.
+"""Pallas TPU kernels: packet (speculative) BVH traversal.
 
 The pure-XLA stackless traversal (ops/bvh.py) carries a *per-ray* node
-pointer, which forces per-lane gathers of node and triangle data — the one
-access pattern TPUs punish hardest.  This kernel flips the parallelism:
+pointer, which forces per-lane gathers of node and primitive data — the one
+access pattern TPUs punish hardest.  These kernels flip the parallelism:
 
   * each grid program owns a block of T rays resident in VMEM lanes;
   * the whole flattened BVH (nodes packed as [M, 8] f32 rows) and the
-    triangle soup (packed [N, 16] f32 rows, *pre-reordered into BVH leaf
+    primitive soup (packed [N, 16] f32 rows, *pre-reordered into BVH leaf
     order* so a leaf is one contiguous dynamic slice) are staged in VMEM —
-    for reference-scale meshes (capsule: 10,200 tris ≈ 5 MB) everything
+    for reference-scale scenes (capsule mesh: 10,200 tris ≈ 5 MB) everything
     fits on-chip;
   * ONE scalar DFS cursor is shared by the block (packet traversal): per
     node, a vectorized slab test over all T rays; if *no* ray in the block
     hits the box, the whole block jumps to the node's escape index.  Leaf
-    triangles are tested for all rays with plain vector ALU ops.
+    primitives are tested for all rays with plain vector ALU ops.
 
 Scalar control flow + vector tests = zero per-lane gathers.  Coherent ray
 blocks skip most of the tree; fully incoherent blocks degrade to a linear
 sweep of nodes whose per-node cost is a handful of VPU ops.
 
+Two primitive row formats share one traversal skeleton (``prim`` static arg):
+
+``prim='planar'`` — triangles, including the two world-space triangles each
+accelerated axis-rect is split into for the *winner search* (the hit record
+is recomputed from the original rect parameters, ops/intersect.py):
+  0..2 v0, 3..5 v1, 6..8 v2, 9 code.
+
+``prim='sphere'`` — static & moving spheres with transforms baked into world
+centers (a rigid transform maps a sphere to a sphere; lerp commutes with the
+affine map, so t values are identical to the object-space test):
+  0..2 c0 (world center at t0), 3..5 c1-c0, 6 t0, 7 1/(t1-t0), 8 r, 9 code.
+
+``code`` encodes (within-kind id, primitive kind) as ``id * 4 + kind`` using
+the scene kind constants — exact in f32 for id < 2^22.
+
 Node row layout ([M, 8] f32):
   0..2 box min, 3..5 box max, 6 escape index, 7 leaf_meta = first*64 + count
   (exact in f32 for first < 2^17; internal nodes have count = 0).
-Triangle row layout ([N, 16] f32): v0 xyz, v1 xyz, v2 xyz, original id.
 """
 
 from __future__ import annotations
@@ -37,21 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from another_raytracer_tpu.models.bvh import FlatBVH
 
-LEAF_SIZE = 8  # default; the actual leaf size is a kernel static arg
 META_SCALE = 64  # leaf_meta = first * META_SCALE + count; count < META_SCALE
 DEFAULT_BLOCK = 1024
 BIG = 3e37
 
 
-def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
-    """Host-side packing -> (nodes [M,8] f32, tris [N,16] f32).
-
-    Node rows: box bounds f32, escape index, leaf_meta — the kernel receives
-    the same data *column-wise* as scalar-prefetch SMEM arrays (node scalars
-    are read once per node by the shared DFS cursor; SMEM scalar loads are
-    cheap, VMEM scalar loads are not).  Triangles are reordered into leaf
-    order (tree.prim_order); row slot 9 carries the original triangle id.
-    """
+def pack_nodes(tree: FlatBVH) -> np.ndarray:
+    """Host-side node packing -> [M,8] f32 (see module docstring)."""
     m = tree.num_nodes
     nodes = np.zeros((m, 8), np.float32)
     nodes[:, 0:3] = tree.node_min
@@ -59,22 +65,70 @@ def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
     nodes[:, 6] = tree.escape
     assert tree.leaf_count.max() < META_SCALE
     nodes[:, 7] = tree.leaf_first * META_SCALE + tree.leaf_count
+    return nodes
+
+
+def _leaf_rows(tree: FlatBVH, n_cols: int = 16) -> np.ndarray:
+    order = tree.prim_order
+    pad = max(int(tree.leaf_count.max()), 1)
+    return np.zeros((order.shape[0] + pad, n_cols), np.float32)
+
+
+def pack_planar(tree: FlatBVH, v0, v1, v2, codes) -> tuple:
+    """(nodes [M,8], rows [N+pad,16]) for the planar kernel.
+
+    ``codes``: [N] int array, ``id * 4 + kind`` per primitive in build order.
+    Rows are reordered into leaf order (tree.prim_order); trailing pad rows
+    are all-zero (degenerate normal -> never hit)."""
+    codes = np.asarray(codes, np.int64)
+    assert codes.max(initial=0) < (1 << 24), "code must be exact in f32"
+    order = tree.prim_order
+    n = order.shape[0]
+    rows = _leaf_rows(tree)
+    rows[:n, 0:3] = np.asarray(v0)[order]
+    rows[:n, 3:6] = np.asarray(v1)[order]
+    rows[:n, 6:9] = np.asarray(v2)[order]
+    rows[:n, 9] = codes[order]
+    return pack_nodes(tree), rows
+
+
+def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
+    """Back-compat triangle-only packing: codes = id*4 + PRIM_TRIANGLE."""
+    from another_raytracer_tpu.models.scene import PRIM_TRIANGLE
+
+    n = tree.prim_order.shape[0]
+    codes = np.arange(n, dtype=np.int64) * 4 + PRIM_TRIANGLE
+    return pack_planar(tree, tri_v0, tri_v1, tri_v2, codes)
+
+
+def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r) -> tuple:
+    """(nodes [M,8], rows [N+pad,16]) for the sphere kernel.  Centers are
+    WORLD-space (transforms baked); zero pad rows are never hit (r = 0 gives
+    disc <= 0 by Cauchy-Schwarz)."""
+    from another_raytracer_tpu.models.scene import PRIM_SPHERE
 
     order = tree.prim_order
     n = order.shape[0]
-    pad = max(int(tree.leaf_count.max()), 1)
-    tris = np.zeros((n + pad, 16), np.float32)  # pad for leaf slices
-    tris[:n, 0:3] = np.asarray(tri_v0)[order]
-    tris[:n, 3:6] = np.asarray(tri_v1)[order]
-    tris[:n, 6:9] = np.asarray(tri_v2)[order]
-    tris[:n, 9] = order
-    return nodes, tris
+    assert n < (1 << 22)
+    rows = _leaf_rows(tree)
+    c0_w = np.asarray(c0_w, np.float64)[order]
+    c1_w = np.asarray(c1_w, np.float64)[order]
+    t0 = np.asarray(t0, np.float64)[order]
+    t1 = np.asarray(t1, np.float64)[order]
+    rows[:n, 0:3] = c0_w
+    rows[:n, 3:6] = c1_w - c0_w
+    rows[:n, 6] = t0
+    dt = t1 - t0
+    rows[:n, 7] = np.where(dt != 0.0, 1.0 / np.where(dt != 0.0, dt, 1.0), 0.0)
+    rows[:n, 8] = np.asarray(r, np.float64)[order]
+    rows[:n, 9] = order * 4 + PRIM_SPHERE
+    return pack_nodes(tree), rows
 
 
 def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
-            esc_ref, meta_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+            esc_ref, meta_ref, rows_ref, ox, oy, oz, dx, dy, dz, tm,
             t0_ref, i0_ref, out_t, out_i, out_hit, *, n_nodes, t_min,
-            leaf_size):
+            leaf_size, prim):
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -84,6 +138,11 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     inv = (safe_inv(d[0]), safe_inv(d[1]), safe_inv(d[2]))
     los = (lox_ref, loy_ref, loz_ref)
     his = (hix_ref, hiy_ref, hiz_ref)
+
+    if prim == "sphere":
+        time = tm[:]
+        a_vec = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_a = 1.0 / jnp.where(a_vec > 0.0, a_vec, 1.0)
 
     def slab(j, best_t):
         tn = jnp.full_like(best_t, t_min)
@@ -109,10 +168,10 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         product (~1.7x fewer vector ops than the direct form; same sign,
         rounding differs at ulp level)."""
         row = base + k
-        v0 = (tris_ref[row, 0], tris_ref[row, 1], tris_ref[row, 2])
-        v1 = (tris_ref[row, 3], tris_ref[row, 4], tris_ref[row, 5])
-        v2 = (tris_ref[row, 6], tris_ref[row, 7], tris_ref[row, 8])
-        oid = tris_ref[row, 9]
+        v0 = (rows_ref[row, 0], rows_ref[row, 1], rows_ref[row, 2])
+        v1 = (rows_ref[row, 3], rows_ref[row, 4], rows_ref[row, 5])
+        v2 = (rows_ref[row, 6], rows_ref[row, 7], rows_ref[row, 8])
+        oid = rows_ref[row, 9]
 
         def cross(a, b):
             return (a[1] * b[2] - a[2] * b[1],
@@ -151,6 +210,38 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         )
         return t, valid, oid
 
+    def sphere_test(base, k, best_t):
+        """Vector test of leaf sphere k: half-b quadratic against the
+        time-lerped world center (sphere.h:39-65, moving_sphere.h:29-31).
+        Static spheres carry cd = 0 so the lerp is inert; canonical scenes
+        use (t0, t1) = (0, 1) so the stored 1/(t1-t0) multiply is exactly
+        the reference's division."""
+        row = base + k
+        c0 = (rows_ref[row, 0], rows_ref[row, 1], rows_ref[row, 2])
+        cd = (rows_ref[row, 3], rows_ref[row, 4], rows_ref[row, 5])
+        st0 = rows_ref[row, 6]
+        inv_dt = rows_ref[row, 7]
+        r = rows_ref[row, 8]
+        oid = rows_ref[row, 9]
+
+        frac = (time - st0) * inv_dt
+        ocx = o[0] - (c0[0] + frac * cd[0])
+        ocy = o[1] - (c0[1] + frac * cd[1])
+        ocz = o[2] - (c0[2] + frac * cd[2])
+        half_b = ocx * d[0] + ocy * d[1] + ocz * d[2]
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a_vec * c
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        root1 = (-half_b - sq) * inv_a
+        root2 = (-half_b + sq) * inv_a
+        r1_ok = (root1 > t_min) & (root1 < best_t)
+        t = jnp.where(r1_ok, root1, root2)
+        valid = ok & (t > t_min) & (t < best_t)
+        return t, valid, oid
+
+    prim_test = tri_test if prim == "planar" else sphere_test
+
     # Vector state lives in the output refs (updated in place); the
     # while_loop carries only the scalar DFS cursor — Mosaic legalizes
     # scalar-predicated branches (pl.when) but not value-yielding scf.if
@@ -174,7 +265,7 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             bi = out_i[:]
             hh = out_hit[:]
             for k in range(leaf_size):
-                t, valid, oid = tri_test(first, k, bt)
+                t, valid, oid = prim_test(first, k, bt)
                 valid = valid & (k < count) & hit_box
                 bt = jnp.where(valid, t, bt)
                 bi = jnp.where(valid, oid.astype(jnp.int32), bi)
@@ -189,26 +280,37 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "t_min", "interpret", "leaf_size")
+    jax.jit,
+    static_argnames=("block", "t_min", "interpret", "leaf_size", "prim"),
 )
-def bvh_closest_hit(nodes, tris, o, d, init_t, init_idx, *, block=DEFAULT_BLOCK,
-                    t_min=1e-3, interpret=False, leaf_size=LEAF_SIZE):
+def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
+                    block=DEFAULT_BLOCK, t_min=1e-3, interpret=False,
+                    prim="planar", time=None):
     """Packet-traversal closest hit.
 
     Args:
-      nodes: [M,8] f32 packed nodes (pack_bvh).
-      tris: [N+pad,16] f32 packed, leaf-ordered triangles.
+      nodes: [M,8] f32 packed nodes (pack_nodes).
+      rows: [N+pad,16] f32 packed, leaf-ordered primitive rows.
       o, d: V3 of [B] ray components.
       init_t: [B] current best t (from other primitive kinds).
-      init_idx: [B] current best within-kind index.
-    Returns (t [B], idx [B] original triangle ids, improved [B] bool).
+      init_idx: [B] current best code/index (copied through for non-improved
+        lanes).
+      leaf_size: REQUIRED — must equal the leaf size the tree was built with
+        (the kernel unrolls exactly this many masked tests per leaf; a
+        smaller value silently skips the tail of every leaf).
+      prim: 'planar' (triangles/quads) or 'sphere'.
+      time: [B] ray times (sphere lerp); zeros when None.
+    Returns (t [B], code [B] int32 — row slot 9 where improved, else the
+    init value — , improved [B] bool).
     """
     B = o.x.shape[0]
     n_nodes = nodes.shape[0]
     pad = (-B) % block
     padded = lambda a: jnp.pad(a, (0, pad)) if pad else a  # noqa: E731
 
-    rays = [padded(a) for a in (o.x, o.y, o.z, d.x, d.y, d.z, init_t)]
+    if time is None:
+        time = jnp.zeros_like(o.x)
+    rays = [padded(a) for a in (o.x, o.y, o.z, d.x, d.y, d.z, time, init_t)]
     rays.append(padded(init_idx))
     grid = ((B + pad) // block,)
 
@@ -229,13 +331,13 @@ def bvh_closest_hit(nodes, tris, o, d, init_t, init_idx, *, block=DEFAULT_BLOCK,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=grid,
-        in_specs=[full(tris)] + [ray_spec] * 8,
+        in_specs=[full(rows)] + [ray_spec] * 9,
         out_specs=[ray_spec] * 3,
     )
 
     out_t, out_i, out_hit = pl.pallas_call(
         functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min,
-                          leaf_size=leaf_size),
+                          leaf_size=leaf_size, prim=prim),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B + pad,), jnp.float32),
@@ -243,6 +345,6 @@ def bvh_closest_hit(nodes, tris, o, d, init_t, init_idx, *, block=DEFAULT_BLOCK,
             jax.ShapeDtypeStruct((B + pad,), jnp.int32),
         ],
         interpret=interpret,
-    )(*scalars, tris, *rays)
+    )(*scalars, rows, *rays)
 
     return out_t[:B], out_i[:B], out_hit[:B].astype(bool)

@@ -140,14 +140,14 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
     The sum is un-averaged, exactly like ``_stochastic_sample`` returning the
     raw sample sum (engine.h:58-68) with averaging deferred to write_color.
 
-    Rays are traced in Morton order only when the scene has a triangle BVH
+    Rays are traced in Morton order only when the scene has a BVH
     (the packet kernel's shared-traversal skipping needs spatially coherent
     blocks; see morton_order).  For sweep-only scenes Morton buys nothing
     and the inverse-permutation gather back to scanline order costs ~10% of
     a Cornell forward pass, so it is skipped; radiance is identical either
     way (RNG keys on absolute pixel ids).
     """
-    if scene.n_bvh_nodes:
+    if scene.has_accel:
         order, inv = morton_order(width, height)
         pixel_ids = jnp.asarray(order)
     else:
@@ -158,7 +158,7 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
         differentiable=differentiable,
     )
-    if scene.n_bvh_nodes:
+    if scene.has_accel:
         inv_j = jnp.asarray(inv)
         acc = acc.map(lambda c: c[inv_j])
     return acc, segments

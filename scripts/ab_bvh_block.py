@@ -65,7 +65,8 @@ def main():
     init_t = jnp.full((B,), bvh_kernel.BIG, jnp.float32)
     init_i = jnp.zeros((B,), jnp.int32)
     t0_, i0_, h0_ = jax.block_until_ready(bvh_kernel.bvh_closest_hit(
-        scene.bvh_packed_nodes, scene.bvh_packed_tris, o, d, init_t, init_i))
+        scene.bvh_packed_nodes, scene.bvh_packed_tris, o, d, init_t, init_i,
+        leaf_size=scene.bvh_leaf_size, block=scene.bvh_block))
     t_np = np.asarray(t0_)
     hit_np = np.asarray(h0_).astype(bool)
     p_np = on + np.where(hit_np, t_np, 2.0)[:, None] * dn
@@ -103,7 +104,8 @@ def main():
             lambda o, d, _b=blk: bvh_kernel.bvh_closest_hit(
                 scene.bvh_packed_nodes, scene.bvh_packed_tris, o, d,
                 jnp.full((B,), bvh_kernel.BIG, jnp.float32),
-                jnp.zeros((B,), jnp.int32), block=_b))
+                jnp.zeros((B,), jnp.int32), block=_b,
+                leaf_size=scene.bvh_leaf_size))
 
     inputs = {
         name: (V3(*[jnp.asarray(a[:, i]) for i in range(3)]),

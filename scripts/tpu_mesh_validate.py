@@ -82,9 +82,15 @@ def phase_tpu():
     B = W * H
     init_t = jnp.full((B,), bvh_kernel.BIG, jnp.float32)
     init_i = jnp.zeros((B,), jnp.int32)
-    t, idx, hit = bvh_kernel.bvh_closest_hit(
+    # leaf_size/block MUST come from the scene: the kernel's unrolled leaf
+    # loop tests exactly leaf_size triangles, and the tree was packed with
+    # scene.bvh_leaf_size-wide leaves (a smaller kernel leaf_size silently
+    # skips the tail of every leaf — measured as 26% missing hits when this
+    # script passed the stale default 8 against a leaf-16 tree).
+    t, code, hit = bvh_kernel.bvh_closest_hit(
         scene.bvh_packed_nodes, scene.bvh_packed_tris, o, d, init_t, init_i,
-        t_min=1e-3)
+        t_min=1e-3, leaf_size=scene.bvh_leaf_size, block=scene.bvh_block)
+    idx = code >> 2  # rows carry id*4 + kind codes
     jax.block_until_ready(t)
     np.save(OUT / "rays_o.npy", vec3.to_numpy(o))
     np.save(OUT / "rays_d.npy", vec3.to_numpy(d))

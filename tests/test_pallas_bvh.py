@@ -30,10 +30,11 @@ def test_kernel_matches_reference_traversal(n_tris):
     init_t = jnp.full((B,), 3e37, jnp.float32)
     init_i = jnp.zeros((B,), jnp.int32)
 
-    t_k, i_k, hit_k = bvh_kernel.bvh_closest_hit(
+    t_k, code_k, hit_k = bvh_kernel.bvh_closest_hit(
         jnp.asarray(nodes), jnp.asarray(tris), o, d, init_t, init_i,
-        block=128, interpret=True,
+        block=128, interpret=True, leaf_size=bvh_lib.LEAF_SIZE,
     )
+    i_k = np.asarray(code_k) >> 2  # rows carry id*4 + kind codes
 
     # Reference: brute-force in numpy (independent of both device paths).
     on = np.stack([np.asarray(c) for c in o], -1).astype(np.float64)
