@@ -428,15 +428,30 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
 
 def _sphere_record(scene, o, d, time, t, idx):
     ii = jnp.clip(idx, 0, scene.n_spheres - 1)
-    look = Lookup(ii, scene.n_spheres)
-    (c0x, c0y, c0z, c1x, c1y, c1z, t0, t1, r, has_uv, xf) = look(
-        scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2],
-        scene.sph_c1[:, 0], scene.sph_c1[:, 1], scene.sph_c1[:, 2],
-        scene.sph_t0, scene.sph_t1, scene.sph_r, scene.sph_has_uv,
-        scene.sph_xf,
-    )
-    c0 = V3(c0x, c0y, c0z)
-    c1 = V3(c1x, c1y, c1z)
+    if scene.n_spheres > 512:  # gather.MAX_ONEHOT_K: one row gather (rule #8)
+        fdt = scene.sph_r.dtype
+        packed = jnp.concatenate(
+            [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
+             scene.sph_t1[:, None], scene.sph_r[:, None],
+             scene.sph_has_uv[:, None], scene.sph_mat.astype(fdt)[:, None],
+             scene.sph_xf.astype(fdt)[:, None]], axis=1)  # [N, 12]
+        prows = packed[ii]
+        c0 = V3(prows[:, 0], prows[:, 1], prows[:, 2])
+        c1 = V3(prows[:, 3], prows[:, 4], prows[:, 5])
+        t0, t1, r, has_uv = (prows[:, j] for j in range(6, 10))
+        mat_packed = prows[:, 10].astype(jnp.int32)
+        xf = prows[:, 11].astype(jnp.int32)
+    else:
+        look = Lookup(ii, scene.n_spheres)
+        (c0x, c0y, c0z, c1x, c1y, c1z, t0, t1, r, has_uv, xf) = look(
+            scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2],
+            scene.sph_c1[:, 0], scene.sph_c1[:, 1], scene.sph_c1[:, 2],
+            scene.sph_t0, scene.sph_t1, scene.sph_r, scene.sph_has_uv,
+            scene.sph_xf,
+        )
+        c0 = V3(c0x, c0y, c0z)
+        c1 = V3(c1x, c1y, c1z)
+        mat_packed = None
     o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     frac = (time - t0) / (t1 - t0)
     center = c0 + (c1 - c0) * frac
@@ -468,19 +483,36 @@ def _sphere_record(scene, o, d, time, t, idx):
     v = (theta / jnp.pi) * has_uv
     n_world = vec3.rotate(rows, n_obj)
     p_world = o + d * t
-    (mat,) = look(scene.sph_mat)
+    mat = mat_packed if mat_packed is not None else look(scene.sph_mat)[0]
     return t, p_world, n_world, mat, u, v, u, v
 
 
 def _rect_record(scene, o, d, t, idx):
     ii = jnp.clip(idx, 0, scene.n_rects - 1)
-    look = Lookup(ii, scene.n_rects)
-    (axis, k, lo0, lo1, hi0, hi1, mat, xf) = look(
-        scene.rect_axis, scene.rect_k,
-        scene.rect_lo[:, 0], scene.rect_lo[:, 1],
-        scene.rect_hi[:, 0], scene.rect_hi[:, 1],
-        scene.rect_mat, scene.rect_xf,
-    )
+    if scene.n_rects > 512:  # gather.MAX_ONEHOT_K
+        # One [N,8] row gather instead of 8 column gathers (CLAUDE.md perf
+        # rule #8) — the final scene has 2,401 rects, well past the one-hot
+        # matmul's profitable range.  int columns are exact in f32 (< 2^24);
+        # the concatenate is loop-invariant so XLA hoists it.
+        fdt = scene.rect_k.dtype
+        packed = jnp.concatenate(
+            [scene.rect_axis.astype(fdt)[:, None], scene.rect_k[:, None],
+             scene.rect_lo, scene.rect_hi,
+             scene.rect_mat.astype(fdt)[:, None],
+             scene.rect_xf.astype(fdt)[:, None]], axis=1)  # [N, 8]
+        rows = packed[ii]
+        axis = rows[:, 0].astype(jnp.int32)
+        k, lo0, lo1, hi0, hi1 = (rows[:, j] for j in range(1, 6))
+        mat = rows[:, 6].astype(jnp.int32)
+        xf = rows[:, 7].astype(jnp.int32)
+    else:
+        look = Lookup(ii, scene.n_rects)
+        (axis, k, lo0, lo1, hi0, hi1, mat, xf) = look(
+            scene.rect_axis, scene.rect_k,
+            scene.rect_lo[:, 0], scene.rect_lo[:, 1],
+            scene.rect_hi[:, 0], scene.rect_hi[:, 1],
+            scene.rect_mat, scene.rect_xf,
+        )
     o_b, d_b, rows, _ = _ray_to_object_gathered(scene, xf, o, d)
     # Differentiable t recompute from the plane equation.
     o_ax = _axis_component(o_b, axis)
