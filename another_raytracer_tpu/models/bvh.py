@@ -111,10 +111,28 @@ def triangle_bounds(v0, v1, v2):
     return pad_flat(mins, maxs)
 
 
-def sphere_bounds(c0, c1, r):
-    """Per-sphere AABBs: hull of the t0/t1 balls (the lerped center stays on
-    the segment, moving_sphere.h:60-74); |r| handles the reference's
-    negative-radius hollow dielectrics."""
+def sphere_bounds(c0, c1, r, t0=None, t1=None, exposure=(0.0, 1.0)):
+    """Per-sphere AABBs over the camera exposure window.
+
+    The sphere tests lerp the center with an UNCLAMPED time fraction
+    (moving_sphere.h:29-31 divides, never clamps), so a ray time outside the
+    sphere's own [t0, t1] lands on the extrapolated segment.  Boxing only the
+    [t0, t1] hull could BVH-cull such a hit; the reference avoids this by
+    boxing at the *camera's* time0/time1 (moving_sphere.h:60-74 is called
+    with the exposure interval, bvh.cpp passes engine times).  Here centers
+    are extrapolated to both exposure endpoints (main.cpp:35 shutter [0,1])
+    before taking the hull; identical to the plain hull whenever the sphere's
+    interval equals the exposure (all canonical scenes).  |r| handles the
+    reference's negative-radius hollow dielectrics."""
+    c0 = np.asarray(c0, np.float64)
+    c1 = np.asarray(c1, np.float64)
+    if t0 is not None:
+        t0 = np.asarray(t0, np.float64)[:, None]
+        t1 = np.asarray(t1, np.float64)[:, None]
+        dt = np.where(t1 != t0, t1 - t0, 1.0)
+        ca = c0 + (exposure[0] - t0) / dt * (c1 - c0)
+        cb = c0 + (exposure[1] - t0) / dt * (c1 - c0)
+        c0, c1 = ca, cb
     r = np.abs(np.asarray(r, np.float64))[:, None]
     mins = np.minimum(c0, c1) - r
     maxs = np.maximum(c0, c1) + r

@@ -583,8 +583,9 @@ class SceneBuilder:
             xfi = np.asarray(sph[6], np.int64)
             c0w = np.einsum("nij,nj->ni", rots[xfi], c0) + trans[xfi]
             c1w = np.einsum("nij,nj->ni", rots[xfi], c1) + trans[xfi]
-            tree_s = bvh_lib.build(*bvh_lib.sphere_bounds(c0w, c1w, rr),
-                                   leaf_size=bvh_leaf_size)
+            tree_s = bvh_lib.build(
+                *bvh_lib.sphere_bounds(c0w, c1w, rr, t0s, t1s),
+                leaf_size=bvh_leaf_size)
             sph_nodes, sph_rows = bvh_kernel.pack_spheres(
                 tree_s, c0w, c1w, t0s, t1s, rr)
             bvh_arrays.update(

@@ -42,6 +42,16 @@ def perlin_noise(scene, perlin_ids, p: V3):
     Lattice hash perm_x[i&255] ^ perm_y[j&255] ^ perm_z[k&255] and trilinear
     Hermite-smoothed gradient interpolation exactly as perlin.h:29-96; each
     noise texture has its own tables (texture.h:52-65).
+
+    All table reads go through one-hot matmul ``Lookup``s (ops/gather.py):
+    the direct ``perm[pid, ax, idx]`` / ``ranvec[gidx]`` form is 30 distinct
+    [B]-indexed gathers per evaluation, each a ~1 element/cycle scalar loop
+    on TPU (CLAUDE.md perf rule #8) — profiled at ~7 ms/bounce on the final
+    scene (B=43k), the single largest cost of that render.  Here the lattice
+    reads collapse to 3 one-hot builds (the +1 neighbor reads a pre-rolled
+    copy of the table through the SAME one-hot) and the 8 corner gradients
+    to 8 one-hot builds; values are exact because the 0/1 one-hot times f32
+    tables reconstructs f32 under precision=HIGHEST.
     """
     pid = jnp.clip(perlin_ids, 0, scene.per_perm.shape[0] - 1)
     fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
@@ -56,19 +66,32 @@ def perlin_noise(scene, perlin_ids, p: V3):
     ww = w * w * (3.0 - 2.0 * w)
 
     perm = scene.per_perm  # [Q,3,256]
+    Q = perm.shape[0]
+    K = Q * PERLIN_N
     rx = scene.per_ranvec[..., 0].reshape(-1)  # [Q*256]
     ry = scene.per_ranvec[..., 1].reshape(-1)
     rz = scene.per_ranvec[..., 2].reshape(-1)
+    base = pid * PERLIN_N
+
+    # Lattice permutation reads: one Lookup per axis serves both the +0 and
+    # +1 neighbor — the neighbor's value is the same one-hot applied to the
+    # within-block-rolled table (roll of a [Q,256] table is free; the
+    # (i+1)&255 wraparound IS the block-circular roll).
+    perm_roll = jnp.roll(perm, -1, axis=2)
+    pv = []  # pv[axis] = (value at +0, value at +1), each [B] int32
+    for axis, iv in ((0, i), (1, j), (2, k)):
+        look = Lookup(base + (iv & (PERLIN_N - 1)), K)
+        p0, p1 = look(perm[:, axis, :].reshape(-1),
+                      perm_roll[:, axis, :].reshape(-1))
+        pv.append((p0, p1))
 
     accum = jnp.zeros_like(p.x)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                px = perm[pid, 0, (i + di) & (PERLIN_N - 1)]
-                py = perm[pid, 1, (j + dj) & (PERLIN_N - 1)]
-                pz = perm[pid, 2, (k + dk) & (PERLIN_N - 1)]
-                gidx = pid * PERLIN_N + (px ^ py ^ pz)
-                g = V3(rx[gidx], ry[gidx], rz[gidx])
+                gidx = pv[0][di] ^ pv[1][dj] ^ pv[2][dk]
+                g = Lookup(base + gidx, K).v3(
+                    jnp.stack([rx, ry, rz], axis=1))
                 weight_v = V3(u - di, v - dj, w - dk)
                 wgt = (
                     (di * uu + (1 - di) * (1.0 - uu))

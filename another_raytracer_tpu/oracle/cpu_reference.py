@@ -268,7 +268,10 @@ class Oracle:
                    + w[:, None] * s["tri_uv2"][i])
             # Oracle normalizes the triangle normal (documented divergence
             # from triangle.h:79 which stores the raw cross product).
-            nb = np.broadcast_to(n / np.linalg.norm(n), p.shape)
+            # Degenerate (zero-area) triangles never pass `ok`, so the guard
+            # only silences the warning, not a behavior change.
+            n_len = np.linalg.norm(n)
+            nb = np.broadcast_to(n / (n_len if n_len > 0.0 else 1.0), p.shape)
             accept(ok, t, p, nb, xf, s["tri_mat"][i], u, v, uvs[:, 0], uvs[:, 1])
 
         for i in range(self.n_media):

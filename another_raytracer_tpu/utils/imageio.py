@@ -103,23 +103,37 @@ def _decode_png(data: bytes) -> "np.ndarray":
         f = raw[p]
         line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int64)
         p += 1 + stride
-        cur = np.zeros(stride, np.int64)
-        for i in range(stride):
-            a = cur[i - nchan] if i >= nchan else 0
-            b = prev[i]
-            c = prev[i - nchan] if i >= nchan else 0
-            x = line[i]
-            if f == 1:
-                x += a
-            elif f == 2:
-                x += b
-            elif f == 3:
-                x += (a + b) // 2
-            elif f == 4:
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                x += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            cur[i] = x & 0xFF
+        # Row-vectorized unfiltering.  Filters 0 (none), 2 (up), and 1 (sub,
+        # a per-channel running sum = cumsum mod 256) are O(1) Python work
+        # per row; 3 (average) and 4 (Paeth) depend on the *decoded* previous
+        # pixel through a nonlinear op, so they walk pixels (channels
+        # vectorized, O(w) per row).  Our own encoder emits filter 0 only,
+        # so round-trips never hit the slow rows.
+        if f == 0:
+            cur = line
+        elif f == 1:
+            cur = np.cumsum(line.reshape(w, nchan), axis=0).reshape(stride) & 0xFF
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        else:
+            px_line = line.reshape(w, nchan)
+            px_prev = prev.reshape(w, nchan)
+            px_cur = np.zeros((w, nchan), np.int64)
+            a = np.zeros(nchan, np.int64)
+            c = np.zeros(nchan, np.int64)
+            for i in range(w):
+                b = px_prev[i]
+                if f == 3:
+                    x = px_line[i] + (a + b) // 2
+                else:  # Paeth
+                    pp = a + b - c
+                    pa, pb, pc = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                    x = px_line[i] + pred
+                a = px_cur[i] = x & 0xFF
+                c = b
+            cur = px_cur.reshape(stride)
         out[row] = cur
         prev = cur
     img = out.reshape(h, w, nchan)
