@@ -81,6 +81,17 @@ def main(argv=None):
         print(f"live view at {viewer.url}")
 
     def do_render():
+        """Compose render mode x progress/checkpoint sinks.
+
+        The render MODE always stays what --mode says (the reference's
+        adaptive default shows live progress too, engine.h:307):
+          * adaptive + live/preview -> per-level streaming of the work frame;
+          * single + live/preview/checkpoint -> per-pass progressive loop
+            (utils/preview.render_progressive, supports exact resume);
+          * unsupported combinations fail loudly instead of silently
+            switching strategy (a silent mode change alters the image:
+            adaptive interpolates, single doesn't).
+        """
         if args.preview or args.checkpoint or args.live is not None:
             from another_raytracer_tpu.utils import preview as preview_lib
 
@@ -88,7 +99,12 @@ def main(argv=None):
                         args.preview, cfg.width, cfg.height, viewer=viewer)
                     if args.preview or args.live is not None else None)
             ckpt = preview_lib.RenderCheckpoint(args.checkpoint) if args.checkpoint else None
-            return preview_lib.render_progressive(scene, cam, cfg, prev, ckpt)
+            if cfg.mode == RenderMode.SINGLE:
+                return preview_lib.render_progressive(scene, cam, cfg, prev, ckpt)
+            if ckpt is not None:
+                p.error(f"--checkpoint requires --mode single "
+                        f"(mode {cfg.mode.value} has no pass-resume stream)")
+            return render_lib.render(scene, cam, cfg, progress=prev)
         return render_lib.render(scene, cam, cfg)
 
     t0 = time.time()

@@ -111,6 +111,24 @@ def triangle_bounds(v0, v1, v2):
     return pad_flat(mins, maxs)
 
 
+def rect_bounds(axis, k, lo, hi):
+    """Per-axis-rect AABBs (aarect.h:16-21 semantics: flat on `axis` at k,
+    spanning lo/hi on the two free axes in ascending order), padded flat."""
+    axis = np.asarray(axis, np.int64)
+    n = axis.shape[0]
+    mins = np.zeros((n, 3))
+    maxs = np.zeros((n, 3))
+    au = np.where(axis == 0, 1, 0)
+    av = np.where(axis == 2, 1, 2)
+    rng = np.arange(n)
+    mins[rng, axis] = maxs[rng, axis] = np.asarray(k, np.float64)
+    mins[rng, au] = np.asarray(lo, np.float64)[:, 0]
+    mins[rng, av] = np.asarray(lo, np.float64)[:, 1]
+    maxs[rng, au] = np.asarray(hi, np.float64)[:, 0]
+    maxs[rng, av] = np.asarray(hi, np.float64)[:, 1]
+    return pad_flat(mins, maxs)
+
+
 def sphere_bounds(c0, c1, r, t0=None, t1=None, exposure=(0.0, 1.0)):
     """Per-sphere AABBs over the camera exposure window.
 

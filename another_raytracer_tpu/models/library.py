@@ -152,8 +152,9 @@ def cornell_smoke(seed: int = 1234):
     return b.build(), _cam((278, 278, -800), (278, 278, 0), 40.0)
 
 
-def final_scene(seed: int = 1234):
-    """The Next Week final scene (scene_manager.cpp:171-234)."""
+def final_scene(seed: int = 1234, **build_kw):
+    """The Next Week final scene (scene_manager.cpp:171-234).
+    ``build_kw`` forwards to SceneBuilder.build (bvh_block etc. for A/Bs)."""
     b = SceneBuilder(background=BLACK, seed=seed)
     ground = b.lambertian(color=(0.48, 0.83, 0.53))
     for i in range(20):
@@ -188,7 +189,7 @@ def final_scene(seed: int = 1234):
     xf = b.transform(rotate_y_deg=15, translate=(-100, 270, 395))
     for _ in range(1000):
         b.sphere(b.rand.uniform(0, 165, 3), 10, white, xform=xf)
-    return b.build(), _cam((478, 278, -600), (278, 278, 0), 40.0)
+    return b.build(**build_kw), _cam((478, 278, -600), (278, 278, 0), 40.0)
 
 
 # Per-model camera presets from the reference's commented-out alternates

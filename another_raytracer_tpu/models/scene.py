@@ -151,11 +151,16 @@ class SceneData:
     bvh_prim_order: jnp.ndarray  # [Nt] int32
     # Pallas packet-traversal packing (ops/pallas/bvh_kernel.py): nodes as
     # [M,8] f32 rows, primitives leaf-ordered as [N+pad,16] f32 rows.  The
-    # planar tree mixes triangles and accelerated rects (each rect split
-    # into two world-space triangles for the winner search only; rows carry
-    # id*4+kind codes).  The sphere tree holds world-baked centers.
+    # planar tree mixes triangles and accelerated NON-identity-transform
+    # rects (each split into two world-space triangles for the winner search
+    # only; rows carry id*4+kind codes).  Identity-transform rects get their
+    # own tree of native axis-rect rows (exact sweep semantics, ~half the
+    # cost of two triangle tests).  The sphere tree holds world-baked
+    # centers.
     bvh_packed_nodes: jnp.ndarray  # [M,8]
     bvh_packed_tris: jnp.ndarray  # [N+pad,16]
+    rect_bvh_nodes: jnp.ndarray  # [Mr,8]
+    rect_bvh_rows: jnp.ndarray  # [Nr+pad,16]
     sph_bvh_nodes: jnp.ndarray  # [Ms,8]
     sph_bvh_rows: jnp.ndarray  # [Ns+pad,16]
 
@@ -165,6 +170,7 @@ class SceneData:
     n_triangles: int = flax.struct.field(pytree_node=False, default=0)
     n_media: int = flax.struct.field(pytree_node=False, default=0)
     n_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
+    n_rect_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
     n_sph_bvh_nodes: int = flax.struct.field(pytree_node=False, default=0)
     # Which kinds the winner search resolves through a BVH instead of the
     # linear [B, N] sweep (ops/intersect.closest_hit skips the corresponding
@@ -199,7 +205,8 @@ class SceneData:
     @property
     def has_accel(self) -> bool:
         """Any BVH present — rays should be traced in Morton order."""
-        return bool(self.n_bvh_nodes or self.n_sph_bvh_nodes)
+        return bool(self.n_bvh_nodes or self.n_rect_bvh_nodes
+                    or self.n_sph_bvh_nodes)
 
 
 @dataclasses.dataclass
@@ -215,21 +222,28 @@ def rotation_y(degrees: float) -> np.ndarray:
     return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], dtype=np.float64)
 
 
-def _rect_quads(rects, rots, trans):
-    """Axis-rects -> two WORLD-space triangles each, for the planar BVH's
-    winner search.  Corners are computed in object space with the same
-    free-axis order as ops/intersect._rect_t (axis 0 -> (1,2), 1 -> (0,2),
-    2 -> (0,1)) and baked through the rect's world-from-object transform —
-    exact for rigid transforms.  Returns (v0, v1, v2 [2N,3], codes [2N]);
-    both triangles of rect i carry code i*4 + PRIM_RECT, so the traversal's
-    winner decodes straight to the rect id and the differentiable hit-record
-    recompute runs on the original rect parameterization."""
-    n = len(rects)
+def _rect_quads(rects, ids, rots, trans):
+    """Axis-rects (the given original indices) -> two WORLD-space triangles
+    each, for the planar BVH's winner search.  Used only for rects with
+    NON-identity transforms (identity ones get native axis-rect rows in
+    their own tree — bvh_kernel 'rect' format).  Corners are computed in
+    object space with the same free-axis order as ops/intersect._rect_t
+    (axis 0 -> (1,2), 1 -> (0,2), 2 -> (0,1)) and baked through the rect's
+    world-from-object transform — exact for rigid transforms.  Returns
+    (v0, v1, v2 [2N,3], codes [2N]); both triangles of rect i carry code
+    i*4 + PRIM_RECT, so the traversal's winner decodes straight to the rect
+    id and the differentiable hit-record recompute runs on the original
+    rect parameterization.  KNOWN EDGE (quad split only): a degenerate rect
+    (lo == hi on a free axis) is hittable by the sweep's inclusive bound
+    test but its triangles have zero normals and never hit, and rays
+    crossing the shared diagonal can miss both triangles at f32-ulp level."""
+    n = len(ids)
     v0 = np.zeros((2 * n, 3))
     v1 = np.zeros((2 * n, 3))
     v2 = np.zeros((2 * n, 3))
     codes = np.zeros((2 * n,), np.int64)
-    for i, (axis, k, lo, hi, _mat, xf) in enumerate(rects):
+    for j, i in enumerate(ids):
+        axis, k, lo, hi, _mat, xf = rects[i]
         au = 1 if axis == 0 else 0
         av = 1 if axis == 2 else 2
         rot, tr = rots[xf], trans[xf]
@@ -243,9 +257,9 @@ def _rect_quads(rects, rots, trans):
 
         p00, p10 = pt(lo[0], lo[1]), pt(hi[0], lo[1])
         p11, p01 = pt(hi[0], hi[1]), pt(lo[0], hi[1])
-        v0[2 * i], v1[2 * i], v2[2 * i] = p00, p10, p11
-        v0[2 * i + 1], v1[2 * i + 1], v2[2 * i + 1] = p00, p11, p01
-        codes[2 * i] = codes[2 * i + 1] = i * 4 + PRIM_RECT
+        v0[2 * j], v1[2 * j], v2[2 * j] = p00, p10, p11
+        v0[2 * j + 1], v1[2 * j + 1], v2[2 * j + 1] = p00, p11, p01
+        codes[2 * j] = codes[2 * j + 1] = i * 4 + PRIM_RECT
     return v0, v1, v2, codes
 
 
@@ -531,12 +545,19 @@ class SceneBuilder:
             bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
             bvh_packed_nodes=jnp.zeros((0, 8), dtype),
             bvh_packed_tris=jnp.zeros((0, 16), dtype),
+            rect_bvh_nodes=jnp.zeros((0, 8), dtype),
+            rect_bvh_rows=jnp.zeros((0, 16), dtype),
             sph_bvh_nodes=jnp.zeros((0, 8), dtype),
             sph_bvh_rows=jnp.zeros((0, 16), dtype),
         )
         n_bvh = 0
+        n_rect_bvh = 0
         n_sph_bvh = 0
-        if tri_in_bvh or rect_in_bvh:
+        # Identity-transform rects go to the native axis-rect tree; rects
+        # with transforms are quad-split into the planar (triangle) tree.
+        rect_native_ids = [i for i, rc in enumerate(self._rects) if rc[5] == 0]
+        rect_quad_ids = [i for i, rc in enumerate(self._rects) if rc[5] != 0]
+        if tri_in_bvh or (rect_in_bvh and rect_quad_ids):
             from another_raytracer_tpu.models import bvh as bvh_lib
             from another_raytracer_tpu.ops.pallas import bvh_kernel
 
@@ -546,8 +567,9 @@ class SceneBuilder:
                 pv1.append(np.stack(tri[1]).reshape(nt, 3))
                 pv2.append(np.stack(tri[2]).reshape(nt, 3))
                 pcodes.append(np.arange(nt, dtype=np.int64) * 4 + PRIM_TRIANGLE)
-            if rect_in_bvh:
-                qv0, qv1, qv2, qcodes = _rect_quads(self._rects, rots, trans)
+            if rect_in_bvh and rect_quad_ids:
+                qv0, qv1, qv2, qcodes = _rect_quads(
+                    self._rects, rect_quad_ids, rots, trans)
                 pv0.append(qv0)
                 pv1.append(qv1)
                 pv2.append(qv2)
@@ -571,6 +593,25 @@ class SceneBuilder:
                 bvh_packed_tris=jnp.asarray(packed_rows),
             )
             n_bvh = tree.num_nodes
+        if rect_in_bvh and rect_native_ids:
+            from another_raytracer_tpu.models import bvh as bvh_lib
+            from another_raytracer_tpu.ops.pallas import bvh_kernel
+
+            ids = np.asarray(rect_native_ids, np.int64)
+            r_axis = np.asarray([self._rects[i][0] for i in ids], np.int64)
+            r_k = np.asarray([self._rects[i][1] for i in ids], np.float64)
+            r_lo = np.stack([self._rects[i][2] for i in ids])
+            r_hi = np.stack([self._rects[i][3] for i in ids])
+            tree_r = bvh_lib.build(
+                *bvh_lib.rect_bounds(r_axis, r_k, r_lo, r_hi),
+                leaf_size=bvh_leaf_size)
+            rect_nodes, rect_rows = bvh_kernel.pack_rects(
+                tree_r, r_axis, r_k, r_lo, r_hi, ids * 4 + PRIM_RECT)
+            bvh_arrays.update(
+                rect_bvh_nodes=jnp.asarray(rect_nodes),
+                rect_bvh_rows=jnp.asarray(rect_rows),
+            )
+            n_rect_bvh = tree_r.num_nodes
         if sph_in_bvh:
             from another_raytracer_tpu.models import bvh as bvh_lib
             from another_raytracer_tpu.ops.pallas import bvh_kernel
@@ -624,7 +665,8 @@ class SceneBuilder:
             background=f(self.background, (3,)),
             **bvh_arrays,
             n_spheres=ns, n_rects=nr, n_triangles=nt, n_media=nm,
-            n_bvh_nodes=n_bvh, n_sph_bvh_nodes=n_sph_bvh,
+            n_bvh_nodes=n_bvh, n_rect_bvh_nodes=n_rect_bvh,
+            n_sph_bvh_nodes=n_sph_bvh,
             tri_in_bvh=tri_in_bvh, rect_in_bvh=rect_in_bvh,
             sph_in_bvh=sph_in_bvh,
             bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,

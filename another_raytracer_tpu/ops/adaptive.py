@@ -151,7 +151,7 @@ def _interpolate_squares(work, xs, ys, size):
             work[py[not_eval], px[not_eval]] = val[not_eval]
 
 
-def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
+def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
     """Adaptive render -> (uint8 image [H,W,3], stats).
 
     stats['traced_pixels'] counts pixels actually path traced (the honest
@@ -161,7 +161,14 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
     batches shard across it (bit-identical output — the RNG keys on absolute
     (pixel, sample) ids).  Defaults to all devices on 'tile' when more than
     one is visible, mirroring the reference's always-4-threads adaptive
-    (engine.h:313-317)."""
+    (engine.h:313-317).
+
+    ``progress``: optional sink with ``update_image(img_uint8, traced)``
+    (utils/preview.ProgressivePreview); called after every level's trace +
+    interpolate so live viewers stream the work frame as it fills — the
+    analog of the reference's per-square ``dgui.show(work_image)``
+    (engine.h:307).  Not-yet-evaluated pixels show black.  The final image
+    is unaffected by the callback."""
     if mesh is None and len(jax.devices()) > 1:
         from another_raytracer_tpu.parallel import sharding
 
@@ -213,6 +220,11 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
         total_segments += int(segs)  # padding overcount is bounded by bucket
         work[flat // W, flat % W] = _to_int_color(acc, spp)
 
+    def show_progress():
+        if progress is not None:
+            progress.update_image(
+                np.clip(work, 0, 255).astype(np.uint8), traced)
+
     # --- level 0: big-square corners --------------------------------------
     bx, by = np.meshgrid(np.arange(0, W, big), np.arange(0, H, big))
     bx, by = bx.ravel(), by.ravel()
@@ -227,6 +239,7 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
 
     # flat big squares -> interpolate now
     _interpolate_squares(work, bx[~sub_big], by[~sub_big], big)
+    show_progress()
 
     # --- level 1: mid-square corners inside subdivided bigs ----------------
     # enumerate the 4 mid squares per subdivided big square
@@ -240,6 +253,7 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
     eval_pixels(cx.ravel(), cy.ravel())
     sub_mid = _heuristic(work, sx, sy, mid, thresh) if len(sx) else np.zeros(0, bool)
     _interpolate_squares(work, sx[~sub_mid], sy[~sub_mid], mid)
+    show_progress()
 
     # --- level 2: small-square corners inside subdivided mids --------------
     tx = (sx[sub_mid][:, None] + np.array([0, small, 0, small])[None, :]).ravel()
@@ -252,6 +266,7 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
     eval_pixels(cx.ravel(), cy.ravel())
     sub_small = _heuristic(work, tx, ty, small, thresh) if len(tx) else np.zeros(0, bool)
     _interpolate_squares(work, tx[~sub_small], ty[~sub_small], small)
+    show_progress()
 
     # --- level 3: exact trace of remaining pixels of subdivided smalls -----
     # For small=3 these are the 5 non-corner pixels (engine.h:265-277); for
@@ -268,6 +283,8 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None):
 
     assert (work >= 0).all(), "adaptive fill left unevaluated pixels"
     img = work.astype(np.uint8)
+    if progress is not None:
+        progress.update_image(img, traced)
     return img, {
         "segments": total_segments,
         "traced_pixels": traced,

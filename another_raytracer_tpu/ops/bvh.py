@@ -28,9 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from another_raytracer_tpu.ops.intersect import BIG
+from another_raytracer_tpu.ops.pallas.bvh_kernel import META_SCALE
 from another_raytracer_tpu.ops.vec3 import V3
-
-META_SCALE = 64  # keep in sync with bvh_kernel.META_SCALE
 
 
 def traverse_packed(nodes, rows, o: V3, d: V3, time, t_min, init_t, init_idx,
@@ -100,7 +99,31 @@ def traverse_packed(nodes, rows, o: V3, d: V3, time, t_min, init_t, init_idx,
         valid = ok & (t > t_min) & (t < best_t)
         return t, valid
 
-    prim_test = planar_test if prim == "planar" else sphere_test
+    def rect_test(r, best_t):
+        """Native axis-rect test on gathered rows (bvh_kernel 'rect' format);
+        mirrors ops/intersect._rect_t exactly (aarect.cpp semantics)."""
+        ax = r[:, 0]
+        kk = r[:, 1]
+        is0 = ax == 0.0
+        is2 = ax == 2.0
+        o_ax = jnp.where(is0, o.x, jnp.where(is2, o.z, o.y))
+        d_ax = jnp.where(is0, d.x, jnp.where(is2, d.z, d.y))
+        parallel = d_ax == 0.0
+        t = jnp.where(parallel, BIG,
+                      (kk - o_ax) / jnp.where(parallel, 1.0, d_ax))
+        o_au = jnp.where(is0, o.y, o.x)
+        d_au = jnp.where(is0, d.y, d.x)
+        o_av = jnp.where(is2, o.y, o.z)
+        d_av = jnp.where(is2, d.y, d.z)
+        pu = o_au + t * d_au
+        pv = o_av + t * d_av
+        inside = (pu >= r[:, 2]) & (pu <= r[:, 4]) & \
+                 (pv >= r[:, 3]) & (pv <= r[:, 5])
+        valid = inside & (t > t_min) & (t < best_t) & ~parallel
+        return t, valid
+
+    prim_test = {"planar": planar_test, "sphere": sphere_test,
+                 "rect": rect_test}[prim]
 
     def cond(state):
         i, best_t, best_i, improved = state

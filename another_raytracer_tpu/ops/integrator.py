@@ -86,17 +86,26 @@ def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
     return jnp.stack(cols, axis=-1)
 
 
-def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=False):
-    """One wavefront bounce; returns the updated carry.
+def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
+             bounce, seed, t_min, remat=False):
+    """THE bounce contract (engine.h:447-466), shared by the lockstep scan
+    (`_bounce`) and the regenerating wavefront (`trace_regenerative`):
+    winner search, miss -> background, emission, branchless scatter.
+
+    Masking note: the radiance delta adds the miss and emission terms as
+    one value, but the masks (alive & ~hit vs alive & hit) are disjoint and
+    the masked-out term is exactly 0.0, so accumulating the sum is
+    bit-identical to accumulating the two terms in sequence.
 
     ``remat``: rematerialize the shading stage (winner recompute + textures
     + scatter) in the backward pass.  The stage is a cheap pure function of
     (o, d, t, kind, idx), so checkpointing it shrinks the per-bounce scan
     residuals to roughly that tuple — profiling showed residual
     dynamic-update-slice stacking at ~28% of the fwd+bwd step.
-    """
-    o, d, time, throughput, radiance, alive, segments = carry
 
+    Returns (radiance_delta V3, hit_p V3, new_dir V3, attenuation V3,
+    scattered [B] bool = alive & hit & scatter_ok).
+    """
     u_media = _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed)
     # Winner selection is a detached discrete decision: run the whole
     # [B, N] sweep (and any BVH traversal) outside the differentiation path —
@@ -120,9 +129,8 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
     # Miss -> background * throughput, then die (engine.h:455-457).
     miss_now = alive & ~hit
     bg = V3.from_array(scene.background)
-    radiance = radiance + vec3.where(
-        miss_now, throughput * bg, V3.zeros(miss_now.shape)
-    )
+    zero = V3.zeros(miss_now.shape)
+    delta = vec3.where(miss_now, throughput * bg, zero)
 
     def shade_hit(scene, o, d, time, t, kind, idx, u_media):
         rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media,
@@ -146,10 +154,20 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=Fals
         scene, o, d, time, t, kind, idx, u_media
     )
 
-    live_hit = alive & hit
-    radiance = radiance + vec3.where(live_hit, throughput * emit, V3.zeros(miss_now.shape))
+    delta = delta + vec3.where(hit, throughput * emit, zero)
+    scattered = hit & scatter_ok
+    return delta, hit_p, new_dir, attenuation, scattered
 
-    alive = live_hit & scatter_ok
+
+def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=False):
+    """One lockstep wavefront bounce; returns the updated carry."""
+    o, d, time, throughput, radiance, alive, segments = carry
+    delta, hit_p, new_dir, attenuation, scattered = _advance(
+        scene, o, d, time, throughput, alive, pixel_ids, sample_ids, bounce,
+        seed, t_min, remat=remat
+    )
+    radiance = radiance + delta
+    alive = scattered
     throughput = vec3.where(alive, throughput * attenuation, throughput)
     o = vec3.where(alive, hit_p, o)
     d = vec3.where(alive, new_dir, d)
@@ -228,27 +246,13 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
         (o, d, time, throughput, total, path_rad, alive, sample, bounce,
          segments) = state
 
-        u_media = _media_uniforms(scene, pixel_ids, sample, bounce, seed)
-        o_live, d_live = _park_dead(alive, o, d)
-        t, kind, idx = intersect.closest_hit(scene, o_live, d_live, time, u_media, t_min)
-        hit = (kind >= 0) & alive
-
-        miss_now = alive & ~hit
-        bg = V3.from_array(scene.background)
-        path_rad = path_rad + vec3.where(miss_now, throughput * bg,
-                                         V3.zeros(miss_now.shape))
-
-        rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx,
-                                        u_media, t_min=t_min)
-        emit, new_dir, attenuation, scatter_ok = shade.emit_and_scatter(
-            scene, rec, d, pixel_ids, sample, bounce, seed)
-
-        path_rad = path_rad + vec3.where(hit, throughput * emit,
-                                         V3.zeros(hit.shape))
-
-        scattered = hit & scatter_ok
+        delta, hit_p, new_dir, attenuation, scattered = _advance(
+            scene, o, d, time, throughput, alive, pixel_ids, sample, bounce,
+            seed, t_min
+        )
+        path_rad = path_rad + delta
         throughput = vec3.where(scattered, throughput * attenuation, throughput)
-        o = vec3.where(scattered, rec.p, o)
+        o = vec3.where(scattered, hit_p, o)
         d = vec3.where(scattered, new_dir, d)
         bounce = jnp.where(alive, bounce + 1, bounce)
         # Depth exhaustion contributes nothing further (engine.h:451-452).

@@ -356,9 +356,11 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim):
     if scene.use_pallas_bvh:
         from another_raytracer_tpu.ops.pallas import bvh_kernel
 
+        # The kernel bakes t_min in as a compile-time constant; a traced
+        # t_min would silently diverge from the sweeps, so refuse it here
+        # (float() raises TracerConversionError on tracers).
         t, code, improved = bvh_kernel.bvh_closest_hit(
-            nodes, rows, o, d, bt, bi,
-            t_min=t_min if isinstance(t_min, float) else 1e-3,
+            nodes, rows, o, d, bt, bi, t_min=float(t_min),
             leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
             prim=prim, time=time,
         )
@@ -391,9 +393,12 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
         jnp.full((B,), -1, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
-    if scene.n_bvh_nodes:  # planar tree: triangles and/or rect quads
+    if scene.n_bvh_nodes:  # planar tree: triangles and/or transformed-rect quads
         best = _fold_bvh(scene, best, scene.bvh_packed_nodes,
                          scene.bvh_packed_tris, o, d, time, t_min, "planar")
+    if scene.n_rect_bvh_nodes:  # native axis-rect tree (identity transforms)
+        best = _fold_bvh(scene, best, scene.rect_bvh_nodes,
+                         scene.rect_bvh_rows, o, d, time, t_min, "rect")
     if scene.n_sph_bvh_nodes:
         best = _fold_bvh(scene, best, scene.sph_bvh_nodes,
                          scene.sph_bvh_rows, o, d, time, t_min, "sphere")

@@ -31,6 +31,14 @@ centers (a rigid transform maps a sphere to a sphere; lerp commutes with the
 affine map, so t values are identical to the object-space test):
   0..2 c0 (world center at t0), 3..5 c1-c0, 6 t0, 7 1/(t1-t0), 8 r, 9 code.
 
+``prim='rect'`` — IDENTITY-transform axis-aligned rects tested natively
+(plane solve + inclusive 2D bound check, the exact aarect.cpp semantics of
+the [B, N] sweep — no quad split, so no shared-diagonal or degenerate-rect
+divergence, and one rect costs ~half of two triangle tests):
+  0 axis (0/1/2 as f32), 1 k, 2 lo_u, 3 lo_v, 4 hi_u, 5 hi_v, 9 code.
+Rects with non-identity transforms still go through the planar tree as two
+world-space quad triangles (scene.py `_rect_quads`).
+
 ``code`` encodes (within-kind id, primitive kind) as ``id * 4 + kind`` using
 the scene kind constants — exact in f32 for id < 2^22.
 
@@ -99,6 +107,26 @@ def pack_bvh(tree: FlatBVH, tri_v0, tri_v1, tri_v2):
     n = tree.prim_order.shape[0]
     codes = np.arange(n, dtype=np.int64) * 4 + PRIM_TRIANGLE
     return pack_planar(tree, tri_v0, tri_v1, tri_v2, codes)
+
+
+def pack_rects(tree: FlatBVH, axis, k, lo, hi, codes) -> tuple:
+    """(nodes [M,8], rows [N+pad,16]) for the rect kernel (identity-transform
+    axis rects only; see module docstring row format).  Pad rows get
+    inverted u-bounds (lo_u=1 > hi_u=0) so they can never test inside."""
+    codes = np.asarray(codes, np.int64)
+    assert codes.max(initial=0) < (1 << 24)
+    order = tree.prim_order
+    n = order.shape[0]
+    rows = _leaf_rows(tree)
+    rows[:n, 0] = np.asarray(axis, np.float64)[order]
+    rows[:n, 1] = np.asarray(k, np.float64)[order]
+    rows[:n, 2] = np.asarray(lo, np.float64)[order, 0]
+    rows[:n, 3] = np.asarray(lo, np.float64)[order, 1]
+    rows[:n, 4] = np.asarray(hi, np.float64)[order, 0]
+    rows[:n, 5] = np.asarray(hi, np.float64)[order, 1]
+    rows[:n, 9] = codes[order]
+    rows[n:, 2] = 1.0  # lo_u > hi_u: unhittable pad
+    return pack_nodes(tree), rows
 
 
 def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r) -> tuple:
@@ -240,7 +268,41 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         valid = ok & (t > t_min) & (t < best_t)
         return t, valid, oid
 
-    prim_test = tri_test if prim == "planar" else sphere_test
+    def rect_test(base, k, best_t):
+        """Vector test of leaf axis-rect k: exactly the [B, N] sweep's
+        plane-solve + inclusive bound check (ops/intersect._rect_t,
+        aarect.cpp semantics), so winner t values match the sweep
+        bit-for-bit.  The axis id is SCALAR per row, so the component picks
+        are scalar-predicated vector selects — cheap VPU ops, no gathers."""
+        row = base + k
+        ax = rows_ref[row, 0]
+        kk = rows_ref[row, 1]
+        lo0 = rows_ref[row, 2]
+        lo1 = rows_ref[row, 3]
+        hi0 = rows_ref[row, 4]
+        hi1 = rows_ref[row, 5]
+        oid = rows_ref[row, 9]
+
+        is0 = ax == 0.0
+        is2 = ax == 2.0
+        o_ax = jnp.where(is0, o[0], jnp.where(is2, o[2], o[1]))
+        d_ax = jnp.where(is0, d[0], jnp.where(is2, d[2], d[1]))
+        parallel = d_ax == 0.0
+        t = jnp.where(parallel, BIG,
+                      (kk - o_ax) / jnp.where(parallel, 1.0, d_ax))
+        # free axes ascending: axis 0 -> (1,2), 1 -> (0,2), 2 -> (0,1)
+        o_au = jnp.where(is0, o[1], o[0])
+        d_au = jnp.where(is0, d[1], d[0])
+        o_av = jnp.where(is2, o[1], o[2])
+        d_av = jnp.where(is2, d[1], d[2])
+        pu = o_au + t * d_au
+        pv = o_av + t * d_av
+        inside = (pu >= lo0) & (pu <= hi0) & (pv >= lo1) & (pv <= hi1)
+        valid = inside & (t > t_min) & (t < best_t) & ~parallel
+        return t, valid, oid
+
+    prim_test = {"planar": tri_test, "sphere": sphere_test,
+                 "rect": rect_test}[prim]
 
     # Vector state lives in the output refs (updated in place); the
     # while_loop carries only the scalar DFS cursor — Mosaic legalizes

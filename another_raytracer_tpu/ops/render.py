@@ -164,23 +164,34 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
     return acc, segments
 
 
-def render(scene, cam, config: RenderConfig):
+def render(scene, cam, config: RenderConfig, progress=None):
     """Render to a uint8 image [H, W, 3].
 
     Returns (image uint8 [H,W,3], stats dict with 'segments' — the honest
     bounce-ray count, unlike the reference's nominal primary-only kRay/s
     metric at main.cpp:50-53).
+
+    ``progress``: optional live-progress sink (utils/preview.
+    ProgressivePreview).  Adaptive mode streams its work frame per level;
+    for progressive per-pass snapshots in single mode use
+    utils/preview.render_progressive (which also checkpoints).  The sharded
+    modes render in one device call and don't stream.
     """
     # Empty-scene guard (reference: engine.h:32-36 prints an error and
     # returns -1; here it raises).
     if scene.num_primitives == 0:
         raise ValueError("cannot render empty scene!")
     if config.mode in (RenderMode.PARALLEL_STRIPES, RenderMode.PARALLEL_IMAGES):
+        if progress is not None:
+            raise ValueError(
+                f"mode {config.mode.value} renders in one device call and "
+                "cannot stream progress; use --mode single or adaptive with "
+                "--live/--preview")
         from another_raytracer_tpu.parallel import sharding
         return sharding.render_sharded(scene, cam, config)
     if config.mode == RenderMode.ADAPTIVE:
         from another_raytracer_tpu.ops import adaptive
-        return adaptive.render_adaptive(scene, cam, config)
+        return adaptive.render_adaptive(scene, cam, config, progress=progress)
 
     acc, segments = render_radiance(
         scene, cam, jnp.uint32(config.seed),
@@ -191,4 +202,6 @@ def render(scene, cam, config: RenderConfig):
     from another_raytracer_tpu.ops import vec3
     img = np.asarray(color_lib.to_uint8(vec3.to_numpy(acc), config.samples_per_pixel))
     img = img.reshape(config.height, config.width, 3)
+    if progress is not None:  # single mode: one final frame
+        progress.update_image(img, config.samples_per_pixel)
     return img, {"segments": int(segments)}

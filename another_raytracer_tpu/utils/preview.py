@@ -38,14 +38,26 @@ class ProgressivePreview:
     _count: int = 0
 
     def update(self, radiance_sum: np.ndarray, samples_done: int) -> None:
+        """Push a linear radiance accumulator (gamma applied here)."""
         self._count += 1
         write_file = self.path is not None and self._count % self.interval == 0
         if not write_file and self.viewer is None:
             return
         img = np.asarray(color_lib.to_uint8(radiance_sum, max(samples_done, 1)))
         img = img.reshape(self.height, self.width, 3)
+        self._emit(img, samples_done, write_file)
+
+    def update_image(self, img_uint8: np.ndarray, progress: int) -> None:
+        """Push an already-tonemapped snapshot (adaptive mode's gamma-int
+        work frame; the reference feeds its live window the same int frame
+        per square, engine.h:307)."""
+        self._count += 1
+        write_file = self.path is not None and self._count % self.interval == 0
+        self._emit(np.asarray(img_uint8, np.uint8), progress, write_file)
+
+    def _emit(self, img: np.ndarray, progress: int, write_file: bool) -> None:
         if self.viewer is not None:
-            self.viewer.update(img, samples_done)
+            self.viewer.update(img, progress)
         if write_file:
             from another_raytracer_tpu.utils import imageio
 

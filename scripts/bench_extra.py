@@ -1,13 +1,23 @@
-"""Secondary recorded benchmarks: mesh, final, and random scenes (forward).
+"""Recorded benchmarks for ALL five BASELINE.md configs (+ the capsule mesh).
 
-bench.py's headline metric is the Cornell fwd+bwd step; the reference's
-default workload is the capsule mesh (main.cpp:20,44) and its heaviest
-scenes are `final` and `random` (BVH'd in the reference,
-scene_manager.cpp:61,176,231).  This script measures all three on the
+bench.py's headline metric is the Cornell fwd+bwd step (one JSON line for
+the driver).  This script measures every BASELINE.md benchmark config on the
 current backend and writes BENCH_EXTRA.json at the repo root so the numbers
-are recorded, not folklore.
+are recorded, not folklore:
 
-Usage: python scripts/bench_extra.py [mesh|final|random ...]
+  1. sphere_ground — single lambertian sphere + ground (BASELINE config 1)
+  2. random       — *In One Weekend* final scene (config 2)
+  3. textures     — *The Next Week* texture set: checker ground, Perlin
+                    sphere, earthmap sphere, motion-blurred sphere (config 3)
+  4. cornell      — Cornell box, forward (config 4's scene; the fwd+bwd
+                    headline lives in bench.py / BENCH_r*.json)
+  5. mesh_hd      — cow.obj at 1920x1080 ADAPTIVE (config 5; triangle BVH +
+                    adaptive subsampling, the reference's default mode)
+  +  mesh         — capsule at 720x540 forward (the reference's default
+                    scene, main.cpp:20, at its 4:3 aspect)
+  +  final        — The Next Week final scene (the reference's heaviest)
+
+Usage: python scripts/bench_extra.py [name ...]   (default: all)
 """
 
 import json
@@ -22,21 +32,54 @@ import jax
 import jax.numpy as jnp
 
 from another_raytracer_tpu.models import library
+from another_raytracer_tpu.models.scene import SceneBuilder
 from another_raytracer_tpu.ops import camera as camera_lib
 from another_raytracer_tpu.ops import render as render_lib
+from another_raytracer_tpu.utils import assets, imageio
 
-# (scene builder, camera aspect source, W, H, spp, depth)
+
+def sphere_ground_scene():
+    """BASELINE config 1: one lambertian sphere + ground plane sphere."""
+    b = SceneBuilder(background=library.SKY)
+    b.sphere((0, 0, -1), 0.5, b.lambertian(color=(0.5, 0.5, 0.5)))
+    b.sphere((0, -100.5, -1), 100, b.lambertian(color=(0.5, 0.5, 0.5)))
+    return b.build(), library._cam((0, 0, 0), (0, 0, -1), 90.0, aperture=0.0)
+
+
+def textures_scene():
+    """BASELINE config 3: checker + Perlin + earthmap image + motion blur."""
+    b = SceneBuilder(background=library.SKY)
+    checker = b.checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.sphere((0, -1000, 0), 1000, b.lambertian(texture=checker))
+    b.sphere((-4, 1, 0), 1.0, b.lambertian(texture=b.noise_texture(4.0)))
+    path = assets.earthmap_path()
+    img = imageio.load_image(path) if path else None
+    b.sphere((0, 1, 0), 1.0, b.lambertian(texture=b.image_texture(img)))
+    b.moving_sphere((4, 1, 0), (4, 1.3, 0), 0, 1, 1.0,
+                    b.lambertian(color=(0.7, 0.3, 0.1)))
+    return b.build(), library._cam((13, 2, 3), (0, 0, 0), 20.0, aperture=0.0)
+
+
+def _cow_scene():
+    path = assets.cow_obj_path()
+    if path is None:
+        raise FileNotFoundError("cow.obj not available")
+    return library.mesh_scene(obj_path=path)
+
+
+# name -> (scene factory, W, H, spp, depth, mode)
 CONFIGS = {
-    "mesh": (library.mesh_scene, 720, 540, 16, 8),
-    "final": (library.final_scene, 240, 240, 8, 8),
-    "random": (library.random_scene, 400, 225, 8, 8),
+    "sphere_ground": (sphere_ground_scene, 400, 225, 64, 8, "single"),
+    "random": (library.random_scene, 400, 225, 8, 8, "single"),
+    "textures": (textures_scene, 400, 225, 16, 8, "single"),
+    "cornell": (library.cornell_box, 360, 270, 16, 8, "single"),
+    "mesh": (library.mesh_scene, 720, 540, 16, 8, "single"),
+    "final": (library.final_scene, 240, 180, 8, 8, "single"),
+    "mesh_hd": (_cow_scene, 1920, 1080, 16, 8, "adaptive"),
 }
 
 
-def run_one(name):
-    builder, w, h, spp, depth = CONFIGS[name]
-    scene, cp = builder()
-    cam = camera_lib.make_camera(aspect_ratio=w / h, **cp)
+def run_forward(scene, cam, w, h, spp, depth):
     f = jax.jit(lambda s, c: render_lib.render_radiance(
         s, c, jnp.uint32(0), width=w, height=h, spp=spp,
         samples_per_pass=1, max_depth=depth, t_min=1e-3))
@@ -50,11 +93,36 @@ def run_one(name):
         out = f(scene, cam)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
+    return dt, segs, compile_s, {}
+
+
+def run_adaptive(scene, cam, w, h, spp, depth):
+    from another_raytracer_tpu.config import RenderConfig, RenderMode
+
+    cfg = RenderConfig(width=w, height=h, samples_per_pixel=spp,
+                       max_depth=depth, mode=RenderMode.ADAPTIVE)
+    t0 = time.perf_counter()
+    _, stats = render_lib.render(scene, cam, cfg)  # compile + first run
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, stats = render_lib.render(scene, cam, cfg)
+    dt = time.perf_counter() - t0
+    extra = {"traced_pixels": stats["traced_pixels"],
+             "total_pixels": stats["total_pixels"]}
+    return dt, stats["segments"], compile_s, extra
+
+
+def run_one(name):
+    builder, w, h, spp, depth, mode = CONFIGS[name]
+    scene, cp = builder()
+    cam = camera_lib.make_camera(aspect_ratio=w / h, **cp)
+    runner = run_adaptive if mode == "adaptive" else run_forward
+    dt, segs, compile_s, extra = runner(scene, cam, w, h, spp, depth)
     rec = {
-        "scene": name, "config": f"{w}x{h} spp{spp} depth{depth}",
+        "scene": name, "config": f"{w}x{h} spp{spp} depth{depth} {mode}",
         "ms": round(dt * 1000, 1), "mrays_per_s": round(segs / dt / 1e6, 2),
         "segments": segs, "compile_s": round(compile_s, 1),
-        "backend": jax.default_backend(),
+        "backend": jax.default_backend(), **extra,
     }
     print(json.dumps(rec))
     return rec
@@ -70,7 +138,10 @@ def main():
         except Exception:
             pass
     for n in names:
-        prev[n] = run_one(n)
+        try:
+            prev[n] = run_one(n)
+        except FileNotFoundError as e:
+            print(f"skip {n}: {e}")
     out_path.write_text(json.dumps(list(prev.values()), indent=1) + "\n")
     print("wrote", out_path)
 

@@ -1,0 +1,180 @@
+"""On-hardware validation of the rect + sphere Pallas kernels (round-2
+VERDICT #2: the triangle kernel was chip-validated in round 1, but the
+sphere tree and the rect tree — default-on for TPU runs of the random and
+final scenes — were only covered in interpret mode; Mosaic is a different
+compiler and a miscompile would silently corrupt two canonical scenes).
+
+  phase "tpu" (run on the TPU):
+    * build the final scene (rect tree + sphere tree, Pallas on) and the
+      random scene (sphere tree with moving spheres); fire a deterministic
+      ray batch (camera primaries + bounce-like scattered rays with random
+      times) through the FULL closest-hit (BVH folds + media sweeps);
+      dump winners;
+    * tiny full renders of both scenes through the Pallas path.
+  phase "cpu":
+    * same scenes, same rays through the XLA `traverse_packed` fallback
+      (identical packed trees) AND through the pure [B, N] sweeps
+      (bvh=False); compare winner (t, kind, idx) three ways;
+    * re-render tiny images through the XLA fallback; compare.
+
+Usage: python scripts/tpu_accel_validate.py {tpu|cpu}
+Artifacts in scripts/out/ (gitignored); recorded results go to CLAUDE.md.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+OUT = Path(__file__).resolve().parent / "out"
+OUT.mkdir(exist_ok=True)
+
+W, H = 192, 144  # primary batch per scene
+NB = 16384  # bounce-like scattered rays
+RW, RH, SPP, DEPTH = 120, 96, 4, 4  # tiny full render
+
+SCENES = {
+    "final": dict(bounds=((-1000, 0, -1000), (1000, 554, 1000))),
+    "random": dict(bounds=((-11, 0, -11), (11, 2, 11))),
+}
+
+
+def build(name, **kw):
+    from another_raytracer_tpu.models import library
+
+    scene, cp = getattr(library, f"{name}_scene")(**kw)
+    return scene, cp
+
+
+def ray_batch(name, cp):
+    """Deterministic mixed batch: camera primaries + scattered rays."""
+    import jax.numpy as jnp
+
+    from another_raytracer_tpu.ops import camera as camera_lib
+    from another_raytracer_tpu.ops.vec3 import V3
+
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cp)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    samp = jnp.zeros((W * H,), jnp.uint32)
+    o, d, _ = camera_lib.generate_rays(cam, pix, samp, W, H, jnp.uint32(0),
+                                       needs_time=False)
+    r = np.random.default_rng(99)
+    lo, hi = SCENES[name]["bounds"]
+    ob = r.uniform(lo, hi, (NB, 3)).astype(np.float32)
+    db = r.normal(size=(NB, 3)).astype(np.float32)
+    on = np.concatenate([np.stack([np.asarray(c) for c in o], -1), ob])
+    dn = np.concatenate([np.stack([np.asarray(c) for c in d], -1), db])
+    time = r.uniform(0, 1, on.shape[0]).astype(np.float32)
+    B = on.shape[0]
+    return (V3(jnp.asarray(on[:, 0]), jnp.asarray(on[:, 1]), jnp.asarray(on[:, 2])),
+            V3(jnp.asarray(dn[:, 0]), jnp.asarray(dn[:, 1]), jnp.asarray(dn[:, 2])),
+            jnp.asarray(time), B)
+
+
+def winners(scene, name, cp):
+    import jax
+    import jax.numpy as jnp
+
+    from another_raytracer_tpu.ops import intersect
+
+    o, d, time, B = ray_batch(name, cp)
+    u_media = jnp.full((B, scene.n_media), 0.5, jnp.float32)
+    f = jax.jit(lambda o, d, t, u: intersect.closest_hit(scene, o, d, t, u, 1e-3))
+    t, kind, idx = jax.block_until_ready(f(o, d, time, u_media))
+    return np.asarray(t), np.asarray(kind), np.asarray(idx)
+
+
+def tiny_render(scene, cp):
+    import jax.numpy as jnp
+
+    from another_raytracer_tpu.ops import camera as camera_lib
+    from another_raytracer_tpu.ops import render as render_lib
+    from another_raytracer_tpu.ops import vec3
+
+    cam = camera_lib.make_camera(aspect_ratio=RW / RH, **cp)
+    acc, segs = render_lib.render_radiance(
+        scene, cam, jnp.uint32(0), width=RW, height=RH, spp=SPP,
+        samples_per_pass=1, max_depth=DEPTH, t_min=1e-3)
+    return vec3.to_numpy(acc), int(segs)
+
+
+def phase_tpu():
+    import jax
+
+    print("backend:", jax.default_backend(), jax.devices())
+    for name in SCENES:
+        scene, cp = build(name)
+        assert scene.use_pallas_bvh, f"{name}: expected Pallas on this backend"
+        print(f"{name}: rect_nodes={scene.n_rect_bvh_nodes} "
+              f"sph_nodes={scene.n_sph_bvh_nodes} planar={scene.n_bvh_nodes}")
+        t, kind, idx = winners(scene, name, cp)
+        np.save(OUT / f"acc_{name}_t.npy", t)
+        np.save(OUT / f"acc_{name}_kind.npy", kind)
+        np.save(OUT / f"acc_{name}_idx.npy", idx)
+        print(f"{name}: winner batch done, {int((kind >= 0).sum())}/{len(kind)} hit")
+        img, segs = tiny_render(scene, cp)
+        np.save(OUT / f"acc_{name}_img.npy", img)
+        print(f"{name}: tiny render done, segments={segs}")
+    print("TPU phase OK")
+
+
+def compare(label, ref, got, t_tol):
+    t1, k1, i1 = ref
+    t2, k2, i2 = got
+    kind_agree = (k1 == k2).mean()
+    hit = (k1 >= 0) & (k2 >= 0)
+    idx_agree = ((i1 == i2) | ~hit).mean()
+    t_err = np.abs(t1[hit] - t2[hit]) / np.maximum(1.0, np.abs(t1[hit]))
+    # disagreements are legitimate only at t ties (two primitives within tol)
+    mism = hit & ((i1 != i2) | (k1 != k2))
+    mism_t = (np.abs(t1[mism] - t2[mism]) / np.maximum(1.0, np.abs(t1[mism]))
+              if mism.any() else np.zeros(1))
+    print(f"  {label}: kind agree {kind_agree:.6f}, idx agree {idx_agree:.6f}, "
+          f"t rel err max {t_err.max():.3e}, "
+          f"{int(mism.sum())} mismatches (t err max {mism_t.max():.3e})")
+    return (kind_agree == 1.0 or mism_t.max() < t_tol) and t_err.max() < t_tol
+
+
+def phase_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ok = True
+    for name in SCENES:
+        print(f"== {name}")
+        pal_t = np.load(OUT / f"acc_{name}_t.npy")
+        pal_k = np.load(OUT / f"acc_{name}_kind.npy")
+        pal_i = np.load(OUT / f"acc_{name}_idx.npy")
+        pal = (pal_t, pal_k, pal_i)
+
+        scene_xla, cp = build(name)  # pallas auto -> False on CPU
+        assert not scene_xla.use_pallas_bvh and scene_xla.has_accel
+        xla = winners(scene_xla, name, cp)
+        ok &= compare("chip-Pallas vs XLA traversal (same trees)", xla, pal, 1e-4)
+
+        scene_sweep, _ = build(name, bvh=False, rect_bvh=False,
+                               sphere_bvh=False)
+        assert not scene_sweep.has_accel
+        sweep = winners(scene_sweep, name, cp)
+        ok &= compare("chip-Pallas vs [B,N] sweep ", sweep, pal, 5e-4)
+
+        img_pal = np.load(OUT / f"acc_{name}_img.npy")
+        img_xla, _ = tiny_render(scene_xla, cp)
+        diff = np.abs(img_pal - img_xla)
+        frac = (diff.max(axis=-1) < 1e-2).mean()
+        print(f"  image: mean|diff| {diff.mean():.3e}, max {diff.max():.3e}, "
+              f"pixels within 1e-2: {frac:.4f}")
+        ok &= diff.mean() < 1e-3 and frac > 0.995
+    print("VALIDATION", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "tpu"
+    if phase == "tpu":
+        phase_tpu()
+    else:
+        sys.exit(phase_cpu())

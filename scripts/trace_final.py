@@ -21,8 +21,8 @@ trace_probe.LOGDIR = "/tmp/artpu_trace_final"
 
 def main():
     scene, cp = library.final_scene()
-    print(f"accel: planar={scene.n_bvh_nodes} sphere={scene.n_sph_bvh_nodes} "
-          f"pallas={scene.use_pallas_bvh}")
+    print(f"accel: planar={scene.n_bvh_nodes} rect={scene.n_rect_bvh_nodes} "
+          f"sphere={scene.n_sph_bvh_nodes} pallas={scene.use_pallas_bvh}")
     cam = camera_lib.make_camera(aspect_ratio=W / H, **cp)
 
     f = jax.jit(lambda s, c: render_lib.render_radiance(

@@ -89,8 +89,10 @@ def test_pallas_kernels_match_xla_traversal_interpret():
     B = o.x.shape[0]
     init_t = jnp.full((B,), intersect.BIG, jnp.float32)
     init_i = jnp.zeros((B,), jnp.int32)
+    assert acc.n_bvh_nodes and acc.n_rect_bvh_nodes and acc.n_sph_bvh_nodes
     for nodes, rows, prim in (
         (acc.bvh_packed_nodes, acc.bvh_packed_tris, "planar"),
+        (acc.rect_bvh_nodes, acc.rect_bvh_rows, "rect"),
         (acc.sph_bvh_nodes, acc.sph_bvh_rows, "sphere"),
     ):
         tx, cx, hx = bvh_ops.traverse_packed(
@@ -118,7 +120,10 @@ def test_final_scene_uses_accel_and_renders():
 
     scene, cp = library.final_scene()
     assert scene.rect_in_bvh and scene.sph_in_bvh
-    assert scene.n_bvh_nodes > 0 and scene.n_sph_bvh_nodes > 0
+    # All final-scene rects are identity-transform -> native rect tree; the
+    # planar (quad) tree only exists for transformed rects / triangles.
+    assert scene.n_rect_bvh_nodes > 0 and scene.n_sph_bvh_nodes > 0
+    assert scene.n_bvh_nodes == 0
     cam = camera_lib.make_camera(aspect_ratio=1.0, **cp)
     cfg = RenderConfig(width=24, height=24, samples_per_pixel=2, max_depth=4)
     img, _ = render_lib.render(scene, cam, cfg)

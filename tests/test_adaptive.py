@@ -103,3 +103,47 @@ def test_adaptive_sharded_matches_single_device():
     img_def, s_def = render_lib.render(scene, cam, cfg)
     assert s_def["mesh"] is not None
     np.testing.assert_array_equal(img_def, img_single)
+
+
+def test_adaptive_streams_progress_and_image_unchanged():
+    """--mode adaptive --live/--preview: the work frame streams per level
+    (reference: per-square dgui.show, engine.h:307) and the final image is
+    bit-identical to a plain adaptive render (round-2 VERDICT #5)."""
+    from another_raytracer_tpu.utils.preview import ProgressivePreview
+
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP, max_depth=DEPTH,
+                       seed=1, samples_per_pass=2, mode=RenderMode.ADAPTIVE)
+
+    class Sink:
+        frames = []
+
+        def update(self, img, n):
+            self.frames.append((np.array(img), n))
+
+    sink = Sink()
+    prev = ProgressivePreview(path=None, width=W, height=H, viewer=sink)
+    img_prog, _ = render_lib.render(scene, cam, cfg, progress=prev)
+    img_plain, _ = render_lib.render(scene, cam, cfg)
+
+    np.testing.assert_array_equal(img_prog, img_plain)
+    assert len(sink.frames) >= 2  # at least one level + the final frame
+    for frame, _ in sink.frames:
+        assert frame.shape == (H, W, 3) and frame.dtype == np.uint8
+    # the stream ends on the finished image
+    np.testing.assert_array_equal(sink.frames[-1][0], img_plain)
+    # earlier snapshots are partial (some pixels still black/unevaluated)
+    assert (sink.frames[0][0] != img_plain).any()
+
+
+def test_sharded_modes_reject_progress():
+    from another_raytracer_tpu.utils.preview import ProgressivePreview
+
+    scene, cam_params = library.cornell_box()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP, max_depth=DEPTH,
+                       mode=RenderMode.PARALLEL_IMAGES)
+    prev = ProgressivePreview(path=None, width=W, height=H, viewer=object())
+    with pytest.raises(ValueError, match="cannot stream progress"):
+        render_lib.render(scene, cam, cfg, progress=prev)
