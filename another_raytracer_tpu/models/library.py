@@ -46,10 +46,11 @@ def _cam(lookfrom, lookat, vfov, aperture=0.0):
     )
 
 
-def random_scene(seed: int = 1234):
+def random_scene(seed: int = 1234, **build_kw):
     """~500 random spheres over a checkered ground (scene_manager.cpp:13-64).
     Diffuse spheres are added twice: once static, once as a motion-blurred
-    duplicate rising by rand(0,0.5) — both are in the reference list."""
+    duplicate rising by rand(0,0.5) — both are in the reference list.
+    ``build_kw`` forwards to SceneBuilder.build (accel knobs for A/Bs)."""
     b = SceneBuilder(background=SKY, seed=seed)
     ground = b.lambertian(texture=b.checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
     b.sphere((0, -1000, 0), 1000, ground)
@@ -76,7 +77,7 @@ def random_scene(seed: int = 1234):
     b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
     b.sphere((-4, 1, 0), 1.0, b.lambertian(color=(0.4, 0.2, 0.1)))
     b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
-    return b.build(), _cam((13, 2, 3), (0, 0, 0), 20.0, aperture=0.1)
+    return b.build(**build_kw), _cam((13, 2, 3), (0, 0, 0), 20.0, aperture=0.1)
 
 
 def two_spheres(seed: int = 1234):
@@ -155,6 +156,10 @@ def cornell_smoke(seed: int = 1234):
 def final_scene(seed: int = 1234, **build_kw):
     """The Next Week final scene (scene_manager.cpp:171-234).
     ``build_kw`` forwards to SceneBuilder.build (bvh_block etc. for A/Bs)."""
+    # leaf 48 measured best for this scene's incoherent bounce packets
+    # (in-process A/B, v5e, 240x180 spp8: 182.8 ms vs 191 @32, 211 @16);
+    # the mesh scene is neutral 16 vs 32, so the global default stays 16.
+    build_kw.setdefault("bvh_leaf_size", 48)
     b = SceneBuilder(background=BLACK, seed=seed)
     ground = b.lambertian(color=(0.48, 0.83, 0.53))
     for i in range(20):

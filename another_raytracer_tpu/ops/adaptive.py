@@ -220,7 +220,17 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
         total_segments += int(segs)  # padding overcount is bounded by bucket
         work[flat // W, flat % W] = _to_int_color(acc, spp)
 
+    _level = [0]
+
     def show_progress():
+        # Console progress line per level (reference: "\r...%" lines,
+        # engine.h:320); the filled fraction counts decided pixels.
+        import sys as _sys
+
+        _level[0] += 1
+        decided = int((work[..., 0] >= 0).sum())
+        print(f"\radaptive level {_level[0]}: {decided * 100 // (W * H)}% "
+              f"filled, {traced} traced", end="", file=_sys.stderr, flush=True)
         if progress is not None:
             progress.update_image(
                 np.clip(work, 0, 255).astype(np.uint8), traced)
@@ -283,6 +293,9 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
 
     assert (work >= 0).all(), "adaptive fill left unevaluated pixels"
     img = work.astype(np.uint8)
+    import sys as _sys
+    print(f"\radaptive done: 100% filled, {traced}/{W * H} pixels traced",
+          file=_sys.stderr, flush=True)
     if progress is not None:
         progress.update_image(img, traced)
     return img, {

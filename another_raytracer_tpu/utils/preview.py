@@ -16,6 +16,7 @@ Here both concerns are host-side callbacks around the sample loop:
 from __future__ import annotations
 
 import dataclasses
+import sys
 from pathlib import Path
 from typing import Optional
 
@@ -165,6 +166,9 @@ def render_progressive(scene, cam, config, preview: ProgressivePreview = None,
         acc += vec3.to_numpy(r)
         segments += int(segs)
         done = min((chunk + 1) * spass, spp)
+        # Console progress % (reference: "\r...%" lines, engine.h:80,320).
+        print(f"\rprogress: {done * 100 // spp}% ({done}/{spp} spp)",
+              end="" if done < spp else "\n", file=sys.stderr, flush=True)
         if preview is not None:
             preview.update(acc, done)
         if checkpoint is not None:
