@@ -129,6 +129,11 @@ class SceneData:
 
     # Image atlas: all texel rows concatenated; per image (offset, w, h).
     atlas: jnp.ndarray  # [P,3] float32 in [0,1]
+    # 8:8:8 packed texels (r*65536 + g*256 + b, exact in the f32 mantissa):
+    # ONE scalar gather instead of a 3-wide row gather in the forward hot
+    # loop (TPU gathers run ~1 element/cycle, so width-3 rows cost 3x).
+    # Only valid when atlas_exact_u8 (see build()); [1] placeholder else.
+    atlas_packed: jnp.ndarray  # [P] float32
     img_off: jnp.ndarray  # [I] int32
     img_w: jnp.ndarray  # [I] int32
     img_h: jnp.ndarray  # [I] int32
@@ -197,6 +202,11 @@ class SceneData:
     # draw (draws are keyed per-purpose lanes; skipping one never shifts
     # another).
     has_motion: bool = flax.struct.field(pytree_node=False, default=True)
+    # True iff every atlas texel is EXACTLY k/255 as stored f32 (always the
+    # case for decoded uint8 images) — verified at build time by simulating
+    # the packed fetch's f32 arithmetic, so the forward-only packed-texel
+    # path is bit-identical to the row-gather path.
+    atlas_exact_u8: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_primitives(self) -> int:
@@ -494,6 +504,22 @@ class SceneBuilder:
             offs, ws, hs = [0], [1], [1]
             atlas = np.zeros((1, 3))
 
+        # Packed 8:8:8 texels for the forward-only fast fetch, validated by
+        # simulating the device unpack in f32: k recovered exactly, then
+        # k / 255 (single correctly-rounded f32 divide) must equal the
+        # stored f32 atlas value bit-for-bit for EVERY channel.
+        a32 = atlas.astype(np.float32)
+        k8 = np.round(a32.astype(np.float64) * 255.0)
+        atlas_exact = bool(
+            np.all((k8 >= 0) & (k8 <= 255))
+            and np.array_equal(
+                k8.astype(np.float32) / np.float32(255.0), a32)
+        )
+        if atlas_exact:
+            atlas_packed = (k8[:, 0] * 65536.0 + k8[:, 1] * 256.0 + k8[:, 2])
+        else:
+            atlas_packed = np.zeros((1,))
+
         if self._perlins:
             ranvec = np.stack([p[0] for p in self._perlins])
             perm = np.stack([p[1] for p in self._perlins])
@@ -658,7 +684,9 @@ class SceneBuilder:
             tex_cb=f(texs[2], (len(self._textures), 3)),
             tex_cc=f(texs[3], (len(self._textures), 3)),
             tex_scale=f(texs[4], (-1,)), tex_aux=i32(texs[5], (-1,)),
-            atlas=f(atlas, atlas.shape), img_off=i32(offs, (-1,)),
+            atlas=f(atlas, atlas.shape),
+            atlas_packed=f(atlas_packed, atlas_packed.shape),
+            img_off=i32(offs, (-1,)),
             img_w=i32(ws, (-1,)), img_h=i32(hs, (-1,)),
             per_ranvec=f(ranvec, ranvec.shape),
             per_perm=jnp.asarray(perm, jnp.int32),
@@ -676,4 +704,5 @@ class SceneBuilder:
             has_motion=ns > 0 and not np.array_equal(
                 np.asarray(sph[0]), np.asarray(sph[1])
             ),
+            atlas_exact_u8=atlas_exact,
         )

@@ -24,6 +24,18 @@ import jax.numpy as jnp
 
 MAX_ONEHOT_K = 512
 
+# Dense-path matmul strategy (trace-time A/B knob, scripts/ab_lookup_split.py):
+# True  -> manual 3-term bf16 table split: the one-hot is EXACT in bf16, so
+#          splitting only the table (Dekker-style hi/mid/lo, 8 significand
+#          bits each = all 24 f32 bits) reconstructs f32 exactly with THREE
+#          native bf16 MXU passes;
+# False -> precision=HIGHEST, which splits BOTH operands (6 passes) because
+#          XLA cannot know the one-hot side is exactly representable.
+# Both are bit-exact for f32 tables and ints < 2^24 — except f32 SUBNORMAL
+# table values (|x| < 1.18e-38), which the split flushes to 0; no scene
+# table holds subnormals (colors, coordinates, ids, unit vectors).
+SPLIT_TABLE = True
+
 
 class Lookup:
     """Batched lookups ``table_col[idx]`` sharing one one-hot matrix.
@@ -48,13 +60,27 @@ class Lookup:
         stacked = jnp.stack(
             [c.astype(jnp.float32) for c in columns], axis=1
         )  # [K, C]
-        # HIGHEST precision: the TPU MXU's default single-pass bf16 matmul
-        # would round table values (e.g. 555 -> 556) — with an exact 0/1
-        # one-hot the 3-pass decomposition reconstructs f32 exactly.
-        out = jnp.dot(
-            self.onehot, stacked, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # The default single-pass bf16 MXU matmul would round table values
+        # (e.g. 555 -> 556), silently changing renders; both paths below
+        # reconstruct f32 exactly (see SPLIT_TABLE).
+        if SPLIT_TABLE:
+            oh = self.onehot.astype(jnp.bfloat16)  # 0/1: exact
+            hi = stacked.astype(jnp.bfloat16)
+            r1 = stacked - hi.astype(jnp.float32)  # exact (Sterbenz)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)  # exact
+
+            def p(tbl):
+                return jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+
+            # hi+mid is <= 16 significant bits over a 16-bit span, so the
+            # f32 sums re-associate exactly; + lo completes all 24 bits.
+            out = (p(hi) + p(mid)) + p(lo)
+        else:
+            out = jnp.dot(
+                self.onehot, stacked, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         return tuple(
             out[:, i].astype(c.dtype) for i, c in enumerate(columns)
         )

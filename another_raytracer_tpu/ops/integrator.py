@@ -87,7 +87,7 @@ def _media_uniforms(scene, pixel_ids, sample_ids, bounce, seed):
 
 
 def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
-             bounce, seed, t_min, remat=False):
+             bounce, seed, t_min, remat=False, fast_texel=False):
     """THE bounce contract (engine.h:447-466), shared by the lockstep scan
     (`_bounce`) and the regenerating wavefront (`trace_regenerative`):
     winner search, miss -> background, emission, branchless scatter.
@@ -139,12 +139,12 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
         # with scatter so the material table and texture are read once.
         if FUSE_SHADE:
             emit, new_dir, attenuation, scatter_ok = shade.emit_and_scatter(
-                scene, rec, d, pixel_ids, sample_ids, bounce, seed
+                scene, rec, d, pixel_ids, sample_ids, bounce, seed, fast_texel
             )
         else:
-            emit = shade.emitted(scene, rec)
+            emit = shade.emitted(scene, rec, fast_texel)
             new_dir, attenuation, scatter_ok = shade.scatter(
-                scene, rec, d, pixel_ids, sample_ids, bounce, seed
+                scene, rec, d, pixel_ids, sample_ids, bounce, seed, fast_texel
             )
         return emit, rec.p, new_dir, attenuation, scatter_ok
 
@@ -159,12 +159,13 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
     return delta, hit_p, new_dir, attenuation, scattered
 
 
-def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min, remat=False):
+def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min,
+            remat=False, fast_texel=False):
     """One lockstep wavefront bounce; returns the updated carry."""
     o, d, time, throughput, radiance, alive, segments = carry
     delta, hit_p, new_dir, attenuation, scattered = _advance(
         scene, o, d, time, throughput, alive, pixel_ids, sample_ids, bounce,
-        seed, t_min, remat=remat
+        seed, t_min, remat=remat, fast_texel=fast_texel
     )
     radiance = radiance + delta
     alive = scattered
@@ -248,7 +249,7 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
 
         delta, hit_p, new_dir, attenuation, scattered = _advance(
             scene, o, d, time, throughput, alive, pixel_ids, sample, bounce,
-            seed, t_min
+            seed, t_min, fast_texel=True
         )
         path_rad = path_rad + delta
         throughput = vec3.where(scattered, throughput * attenuation, throughput)
@@ -332,6 +333,8 @@ def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int
             unroll = max_depth
 
         def body(c, bounce):
+            # differentiable path: fast_texel stays False (texel gradients
+            # flow only through the row gather)
             return _bounce(scene, c, bounce, pixel_ids, sample_ids, seed, t_min,
                            remat=remat), None
         carry, _ = jax.lax.scan(body, carry, jnp.arange(max_depth, dtype=jnp.uint32),
@@ -343,7 +346,8 @@ def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int
 
         def body(state):
             bounce, c = state
-            c = _bounce(scene, c, bounce.astype(jnp.uint32), pixel_ids, sample_ids, seed, t_min)
+            c = _bounce(scene, c, bounce.astype(jnp.uint32), pixel_ids,
+                        sample_ids, seed, t_min, fast_texel=True)
             return (bounce + 1, c)
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))

@@ -120,7 +120,8 @@ def perlin_turb(scene, perlin_ids, p: V3, depth: int = 7):
 # --------------------------------------------------------------------------
 
 
-def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
+def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
+                  fast_texel: bool = False) -> V3:
     """Evaluate the texture table for a batch.
 
     (u, v) are the raw surface parameters (barycentric for triangles) feeding
@@ -128,6 +129,12 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
     triangles the barycentric blend of vertex texcoords (the reference's
     barycentric_image_texture, texture.h:135-154), identical to (u, v) for
     every other primitive.
+
+    ``fast_texel``: forward-only renders set this to fetch image texels
+    through the packed 8:8:8 atlas (one scalar gather, bit-identical — the
+    build validated it) instead of the 3-wide row gather.  MUST stay False
+    on the differentiable path: the packed unpack is floor arithmetic, so
+    texel gradients only flow through the row gather.
     """
     tid = jnp.clip(tex_ids, 0, scene.tex_kind.shape[0] - 1)
     look = Lookup(tid, scene.tex_kind.shape[0])
@@ -165,11 +172,24 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
         cv = 1.0 - jnp.clip(tv, 0.0, 1.0)
         i = jnp.minimum((cu * w.astype(p.x.dtype)).astype(jnp.int32), w - 1)
         j = jnp.minimum((cv * h.astype(p.x.dtype)).astype(jnp.int32), h - 1)
-        # One [B]-indexed ROW gather instead of three column gathers: each
-        # [B] gather is a ~1 element/cycle loop on TPU (measured 0.29 ms each
-        # at B=43k), and all three share the same texel index.
-        rows = scene.atlas[off + j * w + i]
-        texel = V3(rows[:, 0], rows[:, 1], rows[:, 2])
+        if fast_texel and scene.atlas_exact_u8:
+            # ONE scalar gather of the packed 8:8:8 texel + exact f32
+            # floor-unpack (values < 2^24; k/255 is a single correctly-
+            # rounded divide, bit-equal to the stored atlas value per the
+            # build-time check).  3x fewer gather-loop elements than the
+            # row gather (~0.39 ms -> ~0.13 ms per bounce at B=90k).
+            pk = scene.atlas_packed[off + j * w + i]
+            r = jnp.floor(pk * (1.0 / 65536.0))
+            gb = pk - r * 65536.0
+            g = jnp.floor(gb * (1.0 / 256.0))
+            bl = gb - g * 256.0
+            texel = V3(r / 255.0, g / 255.0, bl / 255.0)
+        else:
+            # One [B]-indexed ROW gather instead of three column gathers:
+            # each [B] gather is a ~1 element/cycle loop on TPU (measured
+            # 0.29 ms each at B=43k), and all three share the texel index.
+            rows = scene.atlas[off + j * w + i]
+            texel = V3(rows[:, 0], rows[:, 1], rows[:, 2])
         out = vec3.where(kind == scene_lib.TEX_IMAGE, texel, out)
 
     if scene_lib.TEX_BARYCENTRIC in kinds:
@@ -186,7 +206,7 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3) -> V3:
 # --------------------------------------------------------------------------
 
 
-def emitted(scene, rec: HitRecord) -> V3:
+def emitted(scene, rec: HitRecord, fast_texel: bool = False) -> V3:
     """diffuse_light emits its texture; everything else black
     (material.h:12-14, 112-114)."""
     zero = jnp.zeros_like(rec.u)
@@ -194,23 +214,26 @@ def emitted(scene, rec: HitRecord) -> V3:
         return V3(zero, zero, zero)
     look = Lookup(rec.mat, scene.mat_kind.shape[0])
     (kind, tex) = look(scene.mat_kind, scene.mat_tex)
-    emit = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
+    emit = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p,
+                         fast_texel)
     return vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, emit, V3(zero, zero, zero))
 
 
-def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed):
+def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce,
+            seed, fast_texel: bool = False):
     """Branchless scatter for a batch of hits.
 
     Returns (scatter_dir V3 — NOT normalized, matching the reference's
     un-normalized scattered rays; attenuation V3; scatter_ok [B]).
     """
     _, direction, attenuation, ok = emit_and_scatter(
-        scene, rec, d_in, pixel_ids, sample_ids, bounce, seed
+        scene, rec, d_in, pixel_ids, sample_ids, bounce, seed, fast_texel
     )
     return direction, attenuation, ok
 
 
-def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce, seed):
+def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids,
+                     bounce, seed, fast_texel: bool = False):
     """Fused ``emitted`` + ``scatter`` for one bounce.
 
     The reference evaluates ``mat->emitted`` then ``mat->scatter`` on the
@@ -275,7 +298,8 @@ def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bou
     if scene_lib.MAT_ISOTROPIC in kinds:
         direction = vec3.where(kind == scene_lib.MAT_ISOTROPIC, rand_in_sphere, direction)
 
-    tex_val = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p)
+    tex_val = texture_value(scene, tex, rec.u, rec.v, rec.tu, rec.tv, rec.p,
+                            fast_texel)
     attenuation = tex_val
     if scene_lib.MAT_DIELECTRIC in kinds:
         one = jnp.ones_like(u1)
