@@ -124,7 +124,7 @@ def _cornell_walls(b: SceneBuilder, light_rect, light_emit):
     return white
 
 
-def cornell_box(seed: int = 1234):
+def cornell_box(seed: int = 1234, **build_kw):
     """Cornell box with two rotated boxes (scene_manager.cpp:112-139)."""
     b = SceneBuilder(background=BLACK, seed=seed)
     white = _cornell_walls(b, (213, 343, 227, 332), (15, 15, 15))
@@ -135,7 +135,7 @@ def cornell_box(seed: int = 1234):
     b.box((0, 0, 0), (165, 330, 165), white, xform=xf1)
     xf2 = b.transform(rotate_y_deg=-18, translate=(130, 0, 65))
     b.box((0, 0, 0), (165, 165, 165), white, xform=xf2)
-    return b.build(), _cam((278, 278, -800), (278, 278, 0), 40.0)
+    return b.build(**build_kw), _cam((278, 278, -800), (278, 278, 0), 40.0)
 
 
 def cornell_smoke(seed: int = 1234):
