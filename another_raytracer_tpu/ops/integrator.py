@@ -61,6 +61,17 @@ ZERO_DEAD_DIRS = True
 DEAD_PARK = 1e8
 
 
+# Staged tail compaction for the regenerating wavefront (trace_regenerative):
+# when the alive count drops below half the next stage's width, survivors are
+# gathered into an ~8x narrower buffer and the loop continues there.  Widths
+# stay multiples of 1024 (Mosaic 1D ray-block tiling) and stages stop below
+# MIN_B, where a narrower body no longer beats the compaction cost.
+REGEN_COMPACT = True
+REGEN_COMPACT_MIN_B = 8192
+REGEN_COMPACT_SHRINK = 8
+REGEN_COMPACT_ALIGN = 1024
+
+
 def _park_dead(alive, o: V3, d: V3):
     if not ZERO_DEAD_DIRS:
         return o, d
@@ -176,6 +187,68 @@ def _bounce(scene, carry, bounce, pixel_ids, sample_ids, seed, t_min,
     return (o, d, time, throughput, radiance, alive, segments)
 
 
+def _regen_loop_parts(scene, cam, pix_ids, seed, width, height,
+                      sample_stride, limit, max_depth, t_min):
+    """(cam_rays, body) of the regenerating wavefront, bound to one
+    lane->pixel assignment.  Module-level so diagnostics (e.g.
+    scripts/probe_regen_occupancy.py) can drive the exact production body;
+    stage 2+ of the compacting wavefront rebinds to the gathered survivor
+    pixels — the bounce contract itself is width-agnostic."""
+    from another_raytracer_tpu.ops import camera as camera_lib
+
+    needs_time = scene.has_motion
+
+    def cam_rays(sample_ids):
+        return camera_lib.generate_rays(
+            cam, pix_ids, sample_ids, width, height, seed,
+            needs_time=needs_time)
+
+    def body(state):
+        (o, d, time, throughput, total, path_rad, alive, sample, bounce,
+         segments) = state
+
+        delta, hit_p, new_dir, attenuation, scattered = _advance(
+            scene, o, d, time, throughput, alive, pix_ids, sample, bounce,
+            seed, t_min, fast_texel=True
+        )
+        path_rad = path_rad + delta
+        throughput = vec3.where(scattered, throughput * attenuation, throughput)
+        o = vec3.where(scattered, hit_p, o)
+        d = vec3.where(scattered, new_dir, d)
+        bounce = jnp.where(alive, bounce + 1, bounce)
+        # Depth exhaustion contributes nothing further (engine.h:451-452).
+        alive_next = scattered & (bounce < max_depth)
+        # Count every scatter (even depth-capped ones) — the same convention
+        # as the lockstep loop, which counts alive-after-scatter at each of
+        # its fixed max_depth steps, so segment totals agree across paths.
+        segments = segments + jnp.sum(scattered.astype(jnp.int32))
+
+        # Fold finished paths into the lane total as one value — the same
+        # floating-point add grouping as the lockstep chunk scan (acc +=
+        # whole-sample radiance), keeping the two paths bit-identical.
+        ended = alive & ~alive_next
+        total = total + vec3.where(ended, path_rad, V3.zeros(ended.shape))
+        path_rad = vec3.where(ended, V3.zeros(ended.shape), path_rad)
+
+        # Re-arm ended lanes with their next sample's primary ray.
+        next_sample = jnp.where(ended, sample + jnp.uint32(sample_stride), sample)
+        regen = ended & (next_sample < limit)
+        o2, d2, time2 = cam_rays(next_sample)
+        o = vec3.where(regen, o2, o)
+        d = vec3.where(regen, d2, d)
+        time = jnp.where(regen, time2, time)
+        one = jnp.ones_like(throughput.x)
+        throughput = vec3.where(regen, V3(one, one, one), throughput)
+        bounce = jnp.where(regen, 0, bounce)
+        alive_next = alive_next | regen
+        sample = next_sample
+        segments = segments + jnp.sum(regen.astype(jnp.int32))
+        return (o, d, time, throughput, total, path_rad, alive_next,
+                sample, bounce, segments)
+
+    return cam_rays, body
+
+
 def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
                        width: int, height: int, sample_stride: int,
                        sample_end, spp_cap, max_depth: int, t_min: float):
@@ -209,16 +282,14 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
 
     Returns (radiance V3 [B] per-lane sums, segments int32).
     """
-    from another_raytracer_tpu.ops import camera as camera_lib
-
     limit = jnp.minimum(jnp.uint32(sample_end), jnp.uint32(spp_cap))
-    needs_time = scene.has_motion
+    B = pixel_ids.shape[0]
 
-    def cam_rays(sample_ids):
-        return camera_lib.generate_rays(
-            cam, pixel_ids, sample_ids, width, height, seed,
-            needs_time=needs_time)
+    def make_loop(pix_ids):
+        return _regen_loop_parts(scene, cam, pix_ids, seed, width, height,
+                                 sample_stride, limit, max_depth, t_min)
 
+    cam_rays, body = make_loop(pixel_ids)
     o, d, time = cam_rays(sample_ids0)
     # Bind every carry component to d's varying-axes type (see trace): the
     # pinhole origin / zero shutter time are replicated constants and the
@@ -240,54 +311,79 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
         jnp.sum(alive.astype(jnp.int32)),  # segments
     )
 
-    def cond(state):
-        return jnp.any(state[6])
+    # ---- Staged tail compaction ------------------------------------------
+    # The wavefront's trip count is max-over-lanes TOTAL segments; one deep
+    # pixel keeps the full-width body running long after most lanes have
+    # exhausted their samples (textures bench: 126 iterations at B=90k with
+    # only 27% average occupancy — profiled, see CLAUDE.md round 3).  So:
+    # run each stage only while the alive count still justifies its width,
+    # then gather the survivors (with their RUNNING per-lane totals, so each
+    # pixel's accumulation chain — and bit-equality with the lockstep path —
+    # is preserved) into a ~8x narrower buffer and continue there.  The
+    # compaction itself is one-time work: a cumsum + searchsorted rank
+    # select + one row gather per carry, ~2 ms at B=90k, vs ~50+ ms of
+    # mostly-dead full-width tail iterations it replaces.
+    widths = [B]
+    if REGEN_COMPACT:
+        while widths[-1] >= REGEN_COMPACT_MIN_B:
+            nxt = -(-widths[-1] // REGEN_COMPACT_SHRINK)
+            nxt = -(-nxt // REGEN_COMPACT_ALIGN) * REGEN_COMPACT_ALIGN
+            if nxt >= widths[-1]:
+                break
+            widths.append(nxt)
 
-    def body(state):
-        (o, d, time, throughput, total, path_rad, alive, sample, bounce,
-         segments) = state
+    pix = pixel_ids
+    backmaps = []  # (parent_total V3, scatter_idx [w_child], w_parent)
+    for i, w in enumerate(widths):
+        _, body = make_loop(pix)
+        if i + 1 < len(widths):
+            cap = widths[i + 1]
+            # The alive count only ever shrinks (a lane that exhausts its
+            # samples never re-arms), so the loop exits the first time
+            # count <= cap//2 — always within the next buffer's capacity.
+            thresh = jnp.int32(cap // 2)
 
-        delta, hit_p, new_dir, attenuation, scattered = _advance(
-            scene, o, d, time, throughput, alive, pixel_ids, sample, bounce,
-            seed, t_min, fast_texel=True
-        )
-        path_rad = path_rad + delta
-        throughput = vec3.where(scattered, throughput * attenuation, throughput)
-        o = vec3.where(scattered, hit_p, o)
-        d = vec3.where(scattered, new_dir, d)
-        bounce = jnp.where(alive, bounce + 1, bounce)
-        # Depth exhaustion contributes nothing further (engine.h:451-452).
-        alive = scattered & (bounce < max_depth)
-        # Count every scatter (even depth-capped ones) — the same convention
-        # as the lockstep loop, which counts alive-after-scatter at each of
-        # its fixed max_depth steps, so segment totals agree across paths.
-        segments = segments + jnp.sum(scattered.astype(jnp.int32))
+            def cond(state, _t=thresh):
+                return jnp.sum(state[6].astype(jnp.int32)) > _t
 
-        # Fold finished paths into the lane total as one value — the same
-        # floating-point add grouping as the lockstep chunk scan (acc +=
-        # whole-sample radiance), keeping the two paths bit-identical.
-        ended = state[6] & ~alive
-        total = total + vec3.where(ended, path_rad, V3.zeros(ended.shape))
-        path_rad = vec3.where(ended, V3.zeros(ended.shape), path_rad)
+            state = jax.lax.while_loop(cond, body, state)
 
-        # Re-arm ended lanes with their next sample's primary ray.
-        next_sample = jnp.where(ended, sample + jnp.uint32(sample_stride), sample)
-        regen = ended & (next_sample < limit)
-        o2, d2, time2 = cam_rays(next_sample)
-        o = vec3.where(regen, o2, o)
-        d = vec3.where(regen, d2, d)
-        time = jnp.where(regen, time2, time)
-        one = jnp.ones_like(throughput.x)
-        throughput = vec3.where(regen, V3(one, one, one), throughput)
-        bounce = jnp.where(regen, 0, bounce)
-        alive = alive | regen
-        sample = next_sample
-        segments = segments + jnp.sum(regen.astype(jnp.int32))
-        return (o, d, time, throughput, total, path_rad, alive, sample, bounce,
-                segments)
+            (o, d, time, throughput, total, path_rad, alive, sample, bounce,
+             segments) = state
+            csum = jnp.cumsum(alive.astype(jnp.int32))
+            count = csum[-1]
+            ranks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+            # src[j] = index of the (j+1)-th alive lane; ranks beyond count
+            # return w — clip for the gathers, drop for the scatter-back.
+            src = jnp.searchsorted(csum, ranks, side="left")
+            valid = ranks <= count
+            srcc = jnp.minimum(src, w - 1)
+            take = lambda a: a[srcc]  # noqa: E731
+            zero = jnp.zeros((cap,), total.x.dtype)
+            state = (
+                o.map(take), d.map(take), take(time), throughput.map(take),
+                # Child totals CONTINUE the gathered lanes' running sums —
+                # the scatter-back replaces the parent slot wholesale.
+                vec3.where(valid, total.map(take), V3(zero, zero, zero)),
+                vec3.where(valid, path_rad.map(take), V3(zero, zero, zero)),
+                valid,  # gathered lanes are alive by construction
+                take(sample), take(bounce), segments,
+            )
+            backmaps.append((total, jnp.where(valid, srcc, w), w))
+            pix = take(pix)
+        else:
+            def cond(state):
+                return jnp.any(state[6])
 
-    state = jax.lax.while_loop(cond, body, state)
-    return state[4], state[9]
+            state = jax.lax.while_loop(cond, body, state)
+
+    total, segments = state[4], state[9]
+    for parent_total, idx, w in reversed(backmaps):
+        put = lambda pa, ch: pa.at[idx].set(  # noqa: E731
+            ch, mode="drop", unique_indices=True)
+        total = V3(put(parent_total.x, total.x), put(parent_total.y, total.y),
+                   put(parent_total.z, total.z))
+    return total, segments
 
 
 def trace(scene, o: V3, d: V3, time, pixel_ids, sample_ids, seed, max_depth: int,

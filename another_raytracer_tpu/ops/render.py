@@ -100,6 +100,26 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     return acc, segments
 
 
+def clear_trace_caches():
+    """Drop every jitted entry point's trace cache.
+
+    Module-level A/B knobs (integrator.REGEN_COMPACT, FUSE_SHADE, ...) are
+    read at TRACE time, but the jitted entry points cache traces keyed only
+    on (statics, avals) — toggling a knob and re-calling with the same
+    shapes silently reuses the old program.  Every flag-toggling test or
+    A/B script MUST call this between variants (this invalidated an entire
+    compaction A/B once; see CLAUDE.md rule 11).
+    """
+    from another_raytracer_tpu.grad import diff
+    from another_raytracer_tpu.ops import adaptive
+    from another_raytracer_tpu.parallel import sharding
+
+    for fn in (render_radiance, diff.render_value_and_grad,
+               adaptive._trace_pixels, adaptive._trace_pixels_sharded,
+               sharding.render_radiance_sharded):
+        fn.clear_cache()
+
+
 @functools.lru_cache(maxsize=32)
 def morton_order(width: int, height: int):
     """Z-order (Morton) pixel traversal for a WxH image.

@@ -36,6 +36,7 @@ def bench(tag, make_fn, reps=6):
     outs, fns = {}, {}
     for name, flag in (("stale", False), ("zeroed", True)):
         integrator.ZERO_DEAD_DIRS = flag
+        render_lib.clear_trace_caches()  # trace-time flag (CLAUDE.md rule 11)
         f = make_fn(flag)
         t0 = time.perf_counter()
         outs[name] = jax.block_until_ready(f())

@@ -48,6 +48,7 @@ def main():
     def make(fuse, rounds):
         integrator.FUSE_SHADE = fuse
         rng.ROUNDS = rounds
+        render_lib.clear_trace_caches()  # trace-time flags (CLAUDE.md rule 11)
         s = scene if fuse else scene_old
         c = cam if fuse else cam_old
         fwd = jax.jit(lambda sc, cc: render_lib.render_radiance(

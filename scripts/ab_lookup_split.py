@@ -47,6 +47,7 @@ def main():
     fns = []
     for split in (True, False):
         gather.SPLIT_TABLE = split
+        render_lib.clear_trace_caches()  # trace-time flag (CLAUDE.md rule 11)
         for name, mk in (("textures", lambda: fwd_fn("textures")),
                          ("final", lambda: fwd_fn("final")),
                          ("cornell f+b", cornell_step)):

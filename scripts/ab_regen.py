@@ -33,6 +33,7 @@ def bench(tag, scene, cam, W, H, SPP, DEPTH, reps=6):
     outs, fns = {}, {}
     for name, flag in (("lockstep", False), ("regen", True)):
         integrator.REGEN_FORWARD = flag
+        render_lib.clear_trace_caches()  # trace-time flag (CLAUDE.md rule 11)
         f = jax.jit(lambda s, c, _f=flag: render_lib.render_radiance(
             s, c, jnp.uint32(0), width=W, height=H, spp=SPP,
             samples_per_pass=1, max_depth=DEPTH, t_min=1e-3))
