@@ -34,7 +34,14 @@ MAX_ONEHOT_K = 512
 # Both are bit-exact for f32 tables and ints < 2^24 — except f32 SUBNORMAL
 # table values (|x| < 1.18e-38), which the split flushes to 0; no scene
 # table holds subnormals (colors, coordinates, ids, unit vectors).
-SPLIT_TABLE = True
+#
+# DEFAULT False: the honest in-process A/B (after the rule-11 trace-cache
+# fix — the run that originally picked True compared a cached program
+# against itself) measures HIGHEST faster everywhere it matters: textures
+# 126 vs 178 ms, final 185 vs 204, cornell fwd+bwd ~equal (51.4 vs 50.1).
+# The 3 extra MXU passes are free at these K; the split's extra elementwise
+# table prep is not.
+SPLIT_TABLE = False
 
 
 class Lookup:

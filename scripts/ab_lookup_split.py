@@ -1,7 +1,12 @@
 """In-process A/B: Lookup dense matmul as manual 3-pass bf16 table split vs
 precision=HIGHEST (6 passes).  Both bit-exact; the split halves the MXU
 operand streaming.  Measures the texture-heavy scene (Perlin one-hots
-dominate), the final scene, and the Cornell fwd+bwd headline."""
+dominate), the final scene, and the Cornell fwd+bwd headline.
+
+RESULT (v5e, 2026-08-21, AFTER the rule-11 trace-cache fix): HIGHEST wins —
+textures 126 vs 178 ms, final 186 vs 204, cornell f+b 51.4 vs 50.1 (~equal).
+The first run of this script picked the split, but its forward timings
+compared one cached program against itself.  SPLIT_TABLE defaults False."""
 
 import sys
 import time
