@@ -72,8 +72,13 @@ REGEN_COMPACT_SHRINK = 8
 REGEN_COMPACT_ALIGN = 1024
 
 
-def _park_dead(alive, o: V3, d: V3):
-    if not ZERO_DEAD_DIRS:
+def _park_dead(scene, alive, o: V3, d: V3):
+    # Parking only pays where a packet BVH traverses the union of a block's
+    # lanes; on sweep-only scenes the two selects per bounce are pure cost.
+    # Honest A/B (scripts/ab_dead_lanes.py, 2026-08-21): mesh fwd 75.4
+    # (parked) vs 78.0 ms, but Cornell fwd+bwd 57.1 (parked) vs 52.5 —
+    # so gate on scene.has_accel (static, free at trace time).
+    if not ZERO_DEAD_DIRS or not scene.has_accel:
         return o, d
     z = V3.zeros(alive.shape)
     far = V3(z.x + DEAD_PARK, z.y + DEAD_PARK, z.z + DEAD_PARK)
@@ -131,7 +136,7 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
     # walks (measured: the capsule mesh averages 1.8 segments/primary — most
     # lanes are dead most bounces).  Results for dead lanes are discarded by
     # the alive masks below either way.
-    o_live, d_live = _park_dead(alive, o, d)
+    o_live, d_live = _park_dead(scene, alive, o, d)
     t, kind, idx = intersect.closest_hit(
         sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min
     )

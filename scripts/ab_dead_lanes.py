@@ -3,6 +3,12 @@ directions before the winner search vs stale-ray lockstep, on the capsule
 mesh render (packet-BVH traversal follows the union of a block's lanes, so
 stale dead rays force full-tree walks) and on the Cornell fwd+bwd bench
 config (sweeps do fixed [B,N] work, so little change expected there).
+
+RESULT (v5e, 2026-08-21, AFTER the rule-11 trace-cache fix — the original
+forward-path run was vacuous): mesh fwd 75.4 ms parked vs 78.0 stale
+(parking wins where a packet BVH exists), but Cornell fwd+bwd 57.1 parked
+vs 52.5 stale — the two selects per bounce are pure cost on sweep-only
+scenes.  _park_dead is now gated on scene.has_accel (static).
 """
 
 import sys
