@@ -58,6 +58,10 @@ def main(argv=None):
                         "gui.cpp:13-23 / main.cpp:55)")
     args = p.parse_args(argv)
 
+    from another_raytracer_tpu.utils import compcache
+
+    compcache.enable()
+
     cfg = RenderConfig(
         width=args.width, height=args.height, samples_per_pixel=args.spp,
         max_depth=args.max_depth, seed=args.seed,

@@ -254,6 +254,32 @@ def _regen_loop_parts(scene, cam, pix_ids, seed, width, height,
     return cam_rays, body
 
 
+def _regen_initial_state(cam_rays, pixel_ids, sample_ids0, limit):
+    """Initial 10-tuple carry of the regenerating wavefront — single-sourced
+    so diagnostics (scripts/probe_regen_occupancy.py) cannot desync from the
+    production layout."""
+    o, d, time = cam_rays(sample_ids0)
+    # Bind every carry component to d's varying-axes type (see trace): the
+    # pinhole origin / zero shutter time are replicated constants and the
+    # initial sample ids vary only over the sample axis.
+    z = d.x * 0.0
+    ones = z + 1.0
+    o = V3(o.x + z, o.y + z, o.z + z)
+    time = time + z
+    sample = sample_ids0 + (pixel_ids * 0)
+    alive = (z < 1.0) & (sample < limit)
+    return (
+        o, d, time,
+        V3(ones, ones, ones),  # throughput
+        V3(z, z, z),  # total radiance (finished paths, summed per path)
+        V3(z, z, z),  # current path's radiance
+        alive,
+        sample,
+        jnp.zeros_like(sample),  # bounce within current path
+        jnp.sum(alive.astype(jnp.int32)),  # segments
+    )
+
+
 def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
                        width: int, height: int, sample_stride: int,
                        sample_end, spp_cap, max_depth: int, t_min: float):
@@ -295,26 +321,7 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
                                  sample_stride, limit, max_depth, t_min)
 
     cam_rays, body = make_loop(pixel_ids)
-    o, d, time = cam_rays(sample_ids0)
-    # Bind every carry component to d's varying-axes type (see trace): the
-    # pinhole origin / zero shutter time are replicated constants and the
-    # initial sample ids vary only over the sample axis.
-    z = d.x * 0.0
-    ones = z + 1.0
-    o = V3(o.x + z, o.y + z, o.z + z)
-    time = time + z
-    sample = sample_ids0 + (pixel_ids * 0)
-    alive = (z < 1.0) & (sample < limit)
-    state = (
-        o, d, time,
-        V3(ones, ones, ones),  # throughput
-        V3(z, z, z),  # total radiance (finished paths, summed per path)
-        V3(z, z, z),  # current path's radiance
-        alive,
-        sample,
-        jnp.zeros_like(sample),  # bounce within current path
-        jnp.sum(alive.astype(jnp.int32)),  # segments
-    )
+    state = _regen_initial_state(cam_rays, pixel_ids, sample_ids0, limit)
 
     # ---- Staged tail compaction ------------------------------------------
     # The wavefront's trip count is max-over-lanes TOTAL segments; one deep
@@ -374,7 +381,11 @@ def trace_regenerative(scene, cam, pixel_ids, sample_ids0, seed, *,
                 valid,  # gathered lanes are alive by construction
                 take(sample), take(bounce), segments,
             )
-            backmaps.append((total, jnp.where(valid, srcc, w), w))
+            # Invalid lanes scatter out-of-bounds (mode="drop"); give each a
+            # DISTINCT sentinel (w + rank, all >= w) so the
+            # unique_indices=True promise holds even for dropped lanes —
+            # a shared sentinel would be formally undefined behavior.
+            backmaps.append((total, jnp.where(valid, srcc, w + ranks), w))
             pix = take(pix)
         else:
             def cond(state):

@@ -225,15 +225,21 @@ def scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids, bounce,
 
     Returns (scatter_dir V3 — NOT normalized, matching the reference's
     un-normalized scattered rays; attenuation V3; scatter_ok [B]).
+
+    ``want_emit=False`` keeps this arm honest for the FUSE_SHADE A/B: the
+    emission select is skipped entirely, so the unfused path pays exactly
+    (separate emitted) + (scatter without emission), not fused + emitted.
     """
     _, direction, attenuation, ok = emit_and_scatter(
-        scene, rec, d_in, pixel_ids, sample_ids, bounce, seed, fast_texel
+        scene, rec, d_in, pixel_ids, sample_ids, bounce, seed, fast_texel,
+        want_emit=False,
     )
     return direction, attenuation, ok
 
 
 def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids,
-                     bounce, seed, fast_texel: bool = False):
+                     bounce, seed, fast_texel: bool = False,
+                     want_emit: bool = True):
     """Fused ``emitted`` + ``scatter`` for one bounce.
 
     The reference evaluates ``mat->emitted`` then ``mat->scatter`` on the
@@ -310,6 +316,7 @@ def emit_and_scatter(scene, rec: HitRecord, d_in: V3, pixel_ids, sample_ids,
     emit = V3(zero, zero, zero)
     if scene_lib.MAT_DIFFUSE_LIGHT in kinds:
         ok = jnp.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, False, ok)
-        # diffuse_light emits its texture (material.h:112-114).
-        emit = vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, tex_val, emit)
+        if want_emit:
+            # diffuse_light emits its texture (material.h:112-114).
+            emit = vec3.where(kind == scene_lib.MAT_DIFFUSE_LIGHT, tex_val, emit)
     return emit, direction, attenuation, ok

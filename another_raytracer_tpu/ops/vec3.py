@@ -160,6 +160,16 @@ def in_unit_sphere_from_uniforms(u1, u2, u3) -> V3:
     return unit_vector_from_uniforms(u1, u2) * jnp.cbrt(u3)
 
 
+def in_hemisphere_from_uniforms(u1, u2, u3, normal: V3) -> V3:
+    """Uniform point in the unit half-ball about ``normal`` (replaces
+    random_in_hemisphere's flip of a rejection-sampled ball point,
+    vec3.h:129-135; identical distribution).  Unused by the stock material
+    set — the reference keeps it for the commented-out hemispherical
+    lambertian variant (material.h:31-33) — provided for API parity."""
+    p = in_unit_sphere_from_uniforms(u1, u2, u3)
+    return where(dot(p, normal) > 0.0, p, -p)
+
+
 def in_unit_disk_from_uniforms(u1, u2):
     """Uniform (x, y) in the unit disk (replaces random_in_unit_disk,
     vec3.h:137-143).  Returns (x, y) scalars."""

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 
 def main():
+    from another_raytracer_tpu.utils import compcache
+
+    compcache.enable()
+
     from another_raytracer_tpu.grad import diff
     from another_raytracer_tpu.models import library
     from another_raytracer_tpu.ops import camera as camera_lib

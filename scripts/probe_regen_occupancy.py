@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 import bench_extra
 from another_raytracer_tpu.ops import camera as camera_lib, integrator
-from another_raytracer_tpu.ops.vec3 import V3
 
 
 def main():
@@ -35,14 +34,8 @@ def main():
         cam_rays, body = integrator._regen_loop_parts(
             scene, cam, pixel_ids, jnp.uint32(0), W, H, 1, limit, DEPTH, 1e-3)
         sample0 = jnp.zeros((B,), jnp.uint32)
-        o, d, time = cam_rays(sample0)
-        z = d.x * 0.0
-        ones = z + 1.0
-        alive = (z < 1.0) & (sample0 < limit)
-        state = (V3(o.x + z, o.y + z, o.z + z), d, time + z,
-                 V3(ones, ones, ones), V3(z, z, z), V3(z, z, z), alive,
-                 sample0, jnp.zeros_like(sample0),
-                 jnp.sum(alive.astype(jnp.int32)))
+        state = integrator._regen_initial_state(cam_rays, pixel_ids, sample0,
+                                                limit)
 
         def step(state, _):
             counts = jnp.sum(state[6].astype(jnp.int32))

@@ -49,6 +49,32 @@ def test_samplers_distributions():
     np.testing.assert_allclose(rd.mean(), 2.0 / 3.0, atol=0.01)  # E[r] on disk
 
 
+def test_in_hemisphere_distribution():
+    # V3 sampler equivalent of random_in_hemisphere (vec3.h:129-135):
+    # a uniform ball point flipped into the normal's hemisphere.
+    from another_raytracer_tpu.ops import vec3
+    from another_raytracer_tpu.ops.vec3 import V3
+
+    u = np.random.default_rng(1).uniform(size=(3, 20000)).astype(np.float32)
+    n = V3.full_like(jnp.asarray(u[0]), 0.0, 1.0, 0.0)
+    p = vec3.in_hemisphere_from_uniforms(*map(jnp.asarray, u), n)
+    arr = vec3.to_numpy(p)
+    # Entirely inside the half-ball about +y.
+    assert np.all(arr[:, 1] >= 0.0)
+    r = np.linalg.norm(arr, axis=-1)
+    assert r.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(r.mean(), 0.75, atol=0.01)  # ball radius dist
+    # Folding preserves uniformity in x/z and gives E[y] = E[r]*E[|cos|] = 3/8.
+    assert abs(arr[:, 0].mean()) < 0.02
+    assert abs(arr[:, 2].mean()) < 0.02
+    np.testing.assert_allclose(arr[:, 1].mean(), 3.0 / 8.0, atol=0.01)
+
+    # Array-form flip helper agrees with the V3 sampler's flip rule.
+    d = np.stack([u[0] - 0.5, u[1] - 0.5, u[2] - 0.5], axis=-1)
+    flipped = np.asarray(vecmath.in_hemisphere(jnp.asarray(d), jnp.asarray([[0.0, 1.0, 0.0]])))
+    assert np.all(flipped[:, 1] * np.abs(d[:, 1]) >= 0.0)
+
+
 def test_write_color_gamma_and_clamp():
     # sum=spp*0.25 -> mean 0.25 -> gamma sqrt -> 0.5 -> 128.
     out = color.to_uint8(jnp.array([[25.0, 0.0, 1e9]]), 100)

@@ -115,6 +115,31 @@ def test_two_perlin_spheres():
     compare(scene, cam, spp=2, depth=4)
 
 
+def test_perlin_turb_vs_oracle():
+    # 7-octave turbulence (perlin.h:42-54) value parity: the device one-hot
+    # Lookup formulation vs the oracle's direct f64 table indexing, summed
+    # with the same octave weights.
+    from another_raytracer_tpu.ops import shade
+    from another_raytracer_tpu.ops.vec3 import V3
+
+    scene, _ = library.two_perlin_spheres()
+    pts = np.random.default_rng(7).uniform(-6.0, 6.0, size=(512, 3))
+    pid = np.zeros((512,), np.int32)
+
+    dev = np.asarray(shade.perlin_turb(
+        scene, jnp.asarray(pid), V3.from_array(jnp.asarray(pts, jnp.float32))
+    ))
+
+    ora = Oracle(scene)
+    accum = np.zeros(512)
+    weight, q = 1.0, pts.copy()
+    for _ in range(7):
+        accum += weight * ora.perlin_noise(pid, q)
+        weight *= 0.5
+        q = q * 2.0
+    np.testing.assert_allclose(dev, np.abs(accum), atol=5e-3)
+
+
 def test_earth():
     scene, cam = library.earth()
     compare(scene, cam, spp=2, depth=4)
