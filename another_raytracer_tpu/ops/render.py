@@ -58,7 +58,18 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         # integrator.trace_regenerative).  Bit-identical at spass=1 (the
         # default); spass>1 regroups per-pixel sample additions (fp-level
         # only).  The gradient path keeps the scan (fixed trip count).
-        acc, segments = integrator.trace_regenerative(
+        from another_raytracer_tpu.ops.pallas import mega_kernel
+
+        if mega_kernel.enabled(scene, cam):
+            # Sweep-regime scenes run the ENTIRE wavefront loop inside one
+            # Pallas kernel per ray block: state stays VMEM-resident and the
+            # trip count is max-over-block (ops/pallas/mega_kernel.py).
+            # Tolerance-level FP divergence from the XLA path (Mosaic
+            # transcendentals), validated on-chip by scripts/ab_mega.py.
+            trace_fn = mega_kernel.trace_regenerative_mega
+        else:
+            trace_fn = integrator.trace_regenerative
+        acc, segments = trace_fn(
             scene, cam, pix, samp_offsets + jnp.uint32(sample_start), seed,
             width=width, height=height, sample_stride=spass,
             sample_end=jnp.uint32(sample_start) + n_samples, spp_cap=spp_cap,

@@ -15,10 +15,13 @@ through the integrator (key-splitting per ray would serialize on gathers).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Rotation constants for threefry2x32 (public algorithm constants).
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+# np (not jnp) scalar: a module-level jnp array would be a captured
+# constant inside Pallas kernels, which pallas_call rejects.
+_PARITY = np.uint32(0x1BD11BDA)
 
 # Rounds used for rendering draws.  Salmon et al. (SC'11, Table 2) measure
 # threefry-2x32 passing the full BigCrush battery at 13 rounds; 20 is the
@@ -67,8 +70,15 @@ def threefry2x32(k0, k1, x0, x1, rounds: int = 20):
 
 
 def _uniform_from_bits(bits):
-    """uint32 -> float32 uniform in [0, 1) using the top 24 bits."""
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+    """uint32 -> float32 uniform in [0, 1) using the top 24 bits.
+
+    The value after the shift is < 2**24, so the int32 hop is exact and
+    value-identical to a direct uint32->f32 cast — and it is required
+    inside Pallas kernels (Mosaic has no uint32->f32 lowering)."""
+    return (
+        (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+        * jnp.float32(2.0**-24)
+    )
 
 
 def uniform2(seed, pixel, sample, bounce, dim):

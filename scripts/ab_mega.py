@@ -1,0 +1,108 @@
+"""In-process A/B + validation: the whole-wavefront Pallas megakernel
+(ops/pallas/mega_kernel.py) vs the XLA regenerating wavefront, on the
+sweep-regime bench scenes (cornell, sphere_ground).
+
+For each scene, both variants are compiled in ONE process (CLAUDE.md rules
+10/11: interleaved timing, clear_trace_caches between trace-time knob
+flips), then:
+  * timing: mean of `iters` runs per round, 3 rounds interleaved;
+  * validation: tonemapped uint8 images compared within 2/255 (Mosaic
+    transcendental/fma lowerings differ from XLA at ulp level, so paths
+    through decision boundaries — dielectric coin flips, checker sign —
+    can diverge; report the divergent-pixel fraction like
+    scripts/tpu_accel_validate.py does).
+
+Usage: python scripts/ab_mega.py [scene ...] [--iters N]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from another_raytracer_tpu.utils import compcache
+
+compcache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench_extra
+from another_raytracer_tpu.ops import camera as camera_lib, color as color_lib
+from another_raytracer_tpu.ops import render as render_lib, vec3
+from another_raytracer_tpu.ops.pallas import mega_kernel
+
+SCENES = ["cornell", "sphere_ground"]
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    iters = 5
+    argv = sys.argv[1:]
+    if "--iters" in argv:
+        k = argv.index("--iters")
+        iters = int(argv[k + 1])
+        argv = argv[:k] + argv[k + 2:]
+    names = [a for a in argv if not a.startswith("--")] or SCENES
+
+    fns = {}
+    images = {}
+    for name in names:
+        builder, W, H, SPP, DEPTH, _mode = bench_extra.CONFIGS[name]
+        scene, cp = builder()
+        cam = camera_lib.make_camera(aspect_ratio=W / H, **cp)
+        for mega in (False, True):
+            mega_kernel.MEGA_FORWARD = mega
+            render_lib.clear_trace_caches()
+            f = jax.jit(lambda s, c, _k=(name, mega): render_lib.render_radiance(
+                s, c, jnp.uint32(0), width=W, height=H, spp=SPP,
+                samples_per_pass=1, max_depth=DEPTH, t_min=1e-3))
+            t0 = time.perf_counter()
+            acc, segs = jax.block_until_ready(f(scene, cam))
+            print(f"compiled {name} mega={int(mega)} in "
+                  f"{time.perf_counter()-t0:.1f} s  segments={int(segs)}")
+            fns[(name, mega)] = (f, scene, cam)
+            images[(name, mega)] = (
+                np.asarray(color_lib.to_uint8(vec3.to_numpy(acc), SPP)),
+                int(segs))
+        mega_kernel.MEGA_FORWARD = None
+        render_lib.clear_trace_caches()
+
+        a, sa = images[(name, False)]
+        b, sb = images[(name, True)]
+        close = (np.abs(a.astype(np.int32) - b.astype(np.int32)) <= 2).all(-1)
+        print(f"VALIDATE {name}: {close.mean():.4%} pixels within 2/255, "
+              f"max-diff {np.abs(a.astype(int)-b.astype(int)).max()}, "
+              f"segments {sa} vs {sb} "
+              f"({abs(sa-sb)/max(sa,1):.3%} drift)")
+
+    results = {}
+    for rnd in range(3):
+        for (name, mega), (f, scene, cam) in fns.items():
+            t = timeit(f, scene, cam, iters=iters)
+            results.setdefault((name, mega), []).append(t)
+            print(f"round {rnd} {name:13s} mega={int(mega)}  {t*1000:8.2f} ms")
+
+    print()
+    for name in names:
+        t0 = min(results[(name, False)])
+        t1 = min(results[(name, True)])
+        _, segs = images[(name, True)]
+        print(f"{name:13s}: xla {t0*1000:7.2f} ms  mega {t1*1000:7.2f} ms  "
+              f"speedup {t0/t1:5.2f}x  mega {segs/t1/1e6:7.1f} Mrays/s")
+
+
+if __name__ == "__main__":
+    main()
