@@ -387,11 +387,14 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
     chunked [B, N] sweeps.  BVH folds run first so their winner t tightens
     the sweeps' t_max.
     """
-    B = o.x.shape[0]
+    # Derive the init from the rays so it carries their varying-axes type:
+    # fresh jnp.full constants are replicated under shard_map(check_vma=True)
+    # and the Pallas kernels require uniformly-varying operands.
+    z = o.x * 0.0
     best = (
-        jnp.full((B,), BIG, o.x.dtype),
-        jnp.full((B,), -1, jnp.int32),
-        jnp.zeros((B,), jnp.int32),
+        z + BIG,
+        z.astype(jnp.int32) - 1,
+        z.astype(jnp.int32),
     )
     if scene.n_bvh_nodes:  # planar tree: triangles and/or transformed-rect quads
         best = _fold_bvh(scene, best, scene.bvh_packed_nodes,

@@ -64,6 +64,30 @@ DEFAULT_BLOCK = 1024
 BIG = 3e37
 
 
+def lane_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying ``like``'s varying-axes type: under
+    shard_map(check_vma=True) pallas_call outputs must declare their vma."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def match_vma(like, *arrays):
+    """Promote replicated operands to ``like``'s varying-axes type with
+    lax.pvary: under shard_map(check_vma=True) a Pallas kernel's body mixes
+    block operands freely, so every input must enter uniformly varying
+    (replicated scene tables meet device-varying rays here)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if not vma:
+        return arrays
+    out = []
+    for a in arrays:
+        need = tuple(vma - getattr(jax.typeof(a), "vma", frozenset()))
+        out.append(jax.lax.pvary(a, need) if need else a)
+    return tuple(out)
+
+
 def pack_nodes(tree: FlatBVH) -> np.ndarray:
     """Host-side node packing -> [M,8] f32 (see module docstring)."""
     m = tree.num_nodes
@@ -346,7 +370,7 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     static_argnames=("block", "t_min", "interpret", "leaf_size", "prim"),
 )
 def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
-                    block=DEFAULT_BLOCK, t_min=1e-3, interpret=False,
+                    block=DEFAULT_BLOCK, t_min=1e-3, interpret=None,
                     prim="planar", time=None):
     """Packet-traversal closest hit.
 
@@ -365,6 +389,11 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     Returns (t [B], code [B] int32 — row slot 9 where improved, else the
     init value — , improved [B] bool).
     """
+    if interpret is None:
+        # Auto: Mosaic needs a real TPU; CPU runs (e.g. the multichip CPU
+        # dryrun exercising shard_map x packet-kernel composition with a
+        # pallas_bvh=True scene) fall back to the Pallas interpreter.
+        interpret = jax.default_backend() in ("cpu",)
     B = o.x.shape[0]
     n_nodes = nodes.shape[0]
     pad = (-B) % block
@@ -389,6 +418,8 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
         nodes[:, 3], nodes[:, 4], nodes[:, 5],
         nodes[:, 6].astype(jnp.int32), nodes[:, 7].astype(jnp.int32),
     )
+    promoted = match_vma(rays[0], *scalars, rows)
+    scalars, rows = promoted[:-1], promoted[-1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -402,9 +433,9 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
                           leaf_size=leaf_size, prim=prim),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B + pad,), jnp.float32),
-            jax.ShapeDtypeStruct((B + pad,), jnp.int32),
-            jax.ShapeDtypeStruct((B + pad,), jnp.int32),
+            lane_struct((B + pad,), jnp.float32, rays[0]),
+            lane_struct((B + pad,), jnp.int32, rays[0]),
+            lane_struct((B + pad,), jnp.int32, rays[0]),
         ],
         interpret=interpret,
     )(*scalars, rows, *rays)

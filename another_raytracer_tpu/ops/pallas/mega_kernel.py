@@ -531,8 +531,11 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
     fi = (pixel_ids % jnp.uint32(width)).astype(jnp.float32)
     fj = (pixel_ids // jnp.uint32(width)).astype(jnp.float32)
 
+    from another_raytracer_tpu.ops.pallas.bvh_kernel import lane_struct, match_vma
+
+    uic, rows, camc = match_vma(fi, uic, rows, camc)
     grid = ((B + pad) // block,)
-    lane = lambda dt: jax.ShapeDtypeStruct((B + pad,), dt)  # noqa: E731
+    lane = lambda dt: lane_struct((B + pad,), dt, fi)  # noqa: E731
     ray_spec = pl.BlockSpec((block,), lambda i, *_: (i,),
                             memory_space=pltpu.VMEM)
 

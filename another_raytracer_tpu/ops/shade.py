@@ -30,6 +30,13 @@ from another_raytracer_tpu.ops.vec3 import V3
 
 PERLIN_N = scene_lib.PERLIN_POINT_COUNT
 
+# Trace-time A/B knob (scripts/ab_atlas_barrier.py): fence the packed-atlas
+# texel gather out of its surrounding fusion with optimization_barrier.  A
+# standalone 90k-element gather measures ~0.03 ms on v5e while the
+# trace-named gather fusion in the textures render costs 0.64 ms/call —
+# probing whether the fusion context forces XLA's slow serial emitter.
+ATLAS_BARRIER = False
+
 
 # --------------------------------------------------------------------------
 # Perlin noise (vectorized port of the behavior of src/rendering/perlin.h)
@@ -158,7 +165,17 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
     if scene_lib.TEX_NOISE in kinds:
         # Perlin: 0.5*(1+noise(scale*p)) grayscale (texture.h:57-59).
         (scale, aux) = look(scene.tex_scale, scene.tex_aux)
-        noise = perlin_noise(scene, aux, p * scale)
+        from another_raytracer_tpu.ops.pallas import perlin_kernel
+
+        if fast_texel and perlin_kernel.enabled(scene):
+            # Forward hot loop on TPU: whole-evaluation Pallas kernel with
+            # in-register table gathers — the one-hot dots materialize
+            # [B,256] one-hots to HBM (~46% of the textures bench).  The
+            # differentiable path keeps the Lookups (noise gradients flow
+            # to hit points through them).
+            noise = perlin_kernel.perlin_noise_tpu(scene, p * scale)
+        else:
+            noise = perlin_noise(scene, aux, p * scale)
         gray = 0.5 * (1.0 + noise)
         out = vec3.where(kind == scene_lib.TEX_NOISE, V3(gray, gray, gray), out)
 
@@ -178,7 +195,16 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
             # rounded divide, bit-equal to the stored atlas value per the
             # build-time check).  3x fewer gather-loop elements than the
             # row gather (~0.39 ms -> ~0.13 ms per bounce at B=90k).
-            pk = scene.atlas_packed[off + j * w + i]
+            pidx = off + j * w + i
+            if ATLAS_BARRIER:
+                import jax
+
+                (pidx,) = jax.lax.optimization_barrier((pidx,))
+            pk = scene.atlas_packed[pidx]
+            if ATLAS_BARRIER:
+                import jax
+
+                (pk,) = jax.lax.optimization_barrier((pk,))
             r = jnp.floor(pk * (1.0 / 65536.0))
             gb = pk - r * 65536.0
             g = jnp.floor(gb * (1.0 / 256.0))
