@@ -77,6 +77,11 @@ def random_scene(seed: int = 1234, **build_kw):
     b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
     b.sphere((-4, 1, 0), 1.0, b.lambertian(color=(0.4, 0.2, 0.1)))
     b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
+    # Sphere-tree accel tuned on-chip (scripts/ab_random_accel.py,
+    # 2026-08-21): leaf 32 / block 8192 measured 84.7 ms vs 98.4 at the
+    # global leaf16/blk2048 default on the 400x225 spp8 bench (leaf 48 and
+    # blk 4096 within noise of this; leaf 8 / blk 1024 clearly worse).
+    build_kw = {"bvh_leaf_size": 32, "bvh_block": 8192, **build_kw}
     return b.build(**build_kw), _cam((13, 2, 3), (0, 0, 0), 20.0, aperture=0.1)
 
 

@@ -443,12 +443,12 @@ def _sphere_record(scene, o, d, time, t, idx):
              scene.sph_t1[:, None], scene.sph_r[:, None],
              scene.sph_has_uv[:, None], scene.sph_mat.astype(fdt)[:, None],
              scene.sph_xf.astype(fdt)[:, None]], axis=1)  # [N, 12]
-        prows = packed[ii]
-        c0 = V3(prows[:, 0], prows[:, 1], prows[:, 2])
-        c1 = V3(prows[:, 3], prows[:, 4], prows[:, 5])
-        t0, t1, r, has_uv = (prows[:, j] for j in range(6, 10))
-        mat_packed = prows[:, 10].astype(jnp.int32)
-        xf = prows[:, 11].astype(jnp.int32)
+        cols = _unpack_rows(packed[ii])
+        c0 = V3(cols[0], cols[1], cols[2])
+        c1 = V3(cols[3], cols[4], cols[5])
+        t0, t1, r, has_uv = cols[6:10]
+        mat_packed = cols[10].astype(jnp.int32)
+        xf = cols[11].astype(jnp.int32)
     else:
         look = Lookup(ii, scene.n_spheres)
         (c0x, c0y, c0z, c1x, c1y, c1z, t0, t1, r, has_uv, xf) = look(
@@ -508,11 +508,11 @@ def _rect_record(scene, o, d, t, idx):
              scene.rect_lo, scene.rect_hi,
              scene.rect_mat.astype(fdt)[:, None],
              scene.rect_xf.astype(fdt)[:, None]], axis=1)  # [N, 8]
-        rows = packed[ii]
-        axis = rows[:, 0].astype(jnp.int32)
-        k, lo0, lo1, hi0, hi1 = (rows[:, j] for j in range(1, 6))
-        mat = rows[:, 6].astype(jnp.int32)
-        xf = rows[:, 7].astype(jnp.int32)
+        cols = _unpack_rows(packed[ii])
+        axis = cols[0].astype(jnp.int32)
+        k, lo0, lo1, hi0, hi1 = cols[1:6]
+        mat = cols[6].astype(jnp.int32)
+        xf = cols[7].astype(jnp.int32)
     else:
         look = Lookup(ii, scene.n_rects)
         (axis, k, lo0, lo1, hi0, hi1, mat, xf) = look(
@@ -546,6 +546,25 @@ def _rect_record(scene, o, d, t, idx):
     return t, p_world, n_world, mat, u, v, u, v
 
 
+# Unpack gathered [B, W] record rows through a transpose to [W, B] so the
+# per-column reads are contiguous [B] slices: slicing column c of a
+# [B, W] T(8,128) buffer pays the 12->128 lane padding on every read (the
+# round-4 random-scene HLO showed the slice-unpack fusion at 0.4 ms/call —
+# 2x the row gather itself).  Trace-time A/B knob
+# (scripts/ab_record_unpack.py).  MEASURED NEUTRAL in-process (random
+# 98.9 vs 98.2 ms, mesh 560.3 vs 560.5, 2026-08-21): the transpose costs
+# what the padded slices cost; default stays False.
+RECORD_T_UNPACK = False
+
+
+def _unpack_rows(rows):
+    """[B, W] gathered rows -> list of W [B] columns."""
+    if RECORD_T_UNPACK:
+        rows_t = rows.T
+        return [rows_t[c] for c in range(rows.shape[1])]
+    return [rows[:, c] for c in range(rows.shape[1])]
+
+
 # Mesh-sized triangle tables (> gather.MAX_ONEHOT_K) exceed the one-hot
 # matmul's profitable range, so the winner recompute needs real gathers.
 # Thirteen separate [B]-indexed column gathers are thirteen scalar-ish
@@ -566,13 +585,12 @@ def _triangle_gather_packed(scene, ii):
          scene.tri_mat.astype(scene.tri_v0.dtype)[:, None]],
         axis=1,
     )  # [N, 16]
-    rows = packed[ii]  # [B, 16]
-    c = lambda k: rows[:, k]  # noqa: E731
-    v0 = V3(c(0), c(1), c(2))
-    v1 = V3(c(3), c(4), c(5))
-    v2 = V3(c(6), c(7), c(8))
-    uvs = (c(9), c(10), c(11), c(12), c(13), c(14))
-    mat = rows[:, 15].astype(jnp.int32)
+    c = _unpack_rows(packed[ii])  # [B, 16] -> 16 x [B]
+    v0 = V3(c[0], c[1], c[2])
+    v1 = V3(c[3], c[4], c[5])
+    v2 = V3(c[6], c[7], c[8])
+    uvs = (c[9], c[10], c[11], c[12], c[13], c[14])
+    mat = c[15].astype(jnp.int32)
     return v0, v1, v2, uvs, mat
 
 

@@ -20,6 +20,11 @@ from another_raytracer_tpu.grad import diff
 from another_raytracer_tpu.models import library
 from another_raytracer_tpu.ops import camera as camera_lib
 from another_raytracer_tpu.ops import integrator, render as render_lib, rng
+from another_raytracer_tpu.ops.pallas import mega_kernel
+
+# This A/B measures the XLA wavefront's shading fusion; the megakernel
+# ignores FUSE_SHADE and would swallow the forward arm entirely.
+mega_kernel.MEGA_FORWARD = False
 
 W, H, SPP, DEPTH, SPASS = 360, 270, 16, 8, 1
 
@@ -45,12 +50,14 @@ def main():
     scene_old = scene.replace(has_motion=True)
     cam_old = cam.replace(has_lens=True)
 
-    def make(fuse, rounds):
+    def make(fuse, rounds, gated=None):
         integrator.FUSE_SHADE = fuse
         rng.ROUNDS = rounds
         render_lib.clear_trace_caches()  # trace-time flags (CLAUDE.md rule 11)
-        s = scene if fuse else scene_old
-        c = cam if fuse else cam_old
+        if gated is None:
+            gated = fuse
+        s = scene if gated else scene_old
+        c = cam if gated else cam_old
         fwd = jax.jit(lambda sc, cc: render_lib.render_radiance(
             sc, cc, seed, width=W, height=H, spp=SPP, samples_per_pass=SPASS,
             max_depth=DEPTH, t_min=1e-3, differentiable=False)).lower(s, c).compile()
@@ -64,6 +71,7 @@ def main():
         "A old (sep, tf20, all-draws)": make(False, 20),
         "mid1 (fused, tf20)": make(True, 20),
         "mid2 (sep, tf13, all-draws)": make(False, 13),
+        "mid3 (sep, tf13, gated)": make(False, 13, gated=True),
         "B new (fused, tf13, gated)": make(True, 13),
     }
     integrator.FUSE_SHADE = True

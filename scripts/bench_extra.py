@@ -28,8 +28,13 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+from another_raytracer_tpu.utils import compcache
+
+compcache.enable()
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from another_raytracer_tpu.models import library
 from another_raytracer_tpu.models.scene import SceneBuilder
@@ -76,6 +81,15 @@ CONFIGS = {
     "mesh": (library.mesh_scene, 720, 540, 16, 8, "single"),
     "final": (library.final_scene, 240, 180, 8, 8, "single"),
     "mesh_hd": (_cow_scene, 1920, 1080, 16, 8, "adaptive"),
+    # Forward+backward on a BVH'd scene: proves the differentiable path
+    # (unrolled lockstep scan + winner recompute) composes with the Pallas
+    # packet kernels beyond Cornell.  Gradients w.r.t. textures/materials
+    # AND the 10,200 triangle vertices (BASELINE.json north star:
+    # "geometry gradients ... backward wavefront").
+    "mesh_grad": (library.mesh_scene, 240, 180, 4, 6, "grad"),
+    # The reference's own default workload: 720x540, 100 spp, max_depth 50,
+    # adaptive mode, capsule mesh (tracer_constants.h:6-13, main.cpp:20,44).
+    "reference_default": (library.mesh_scene, 720, 540, 100, 50, "adaptive"),
 }
 
 
@@ -112,11 +126,43 @@ def run_adaptive(scene, cam, w, h, spp, depth):
     return dt, stats["segments"], compile_s, extra
 
 
+def run_grad(scene, cam, w, h, spp, depth):
+    import jax as _jax
+
+    from another_raytracer_tpu.grad import diff
+
+    trainable = diff.DEFAULT_TRAINABLE + ("tri_v0", "tri_v1", "tri_v2")
+    params, _ = diff.split_params(scene, trainable)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    step = _jax.jit(lambda p, s, c, t: _jax.value_and_grad(diff.render_loss)(
+        p, s, c, t, jnp.uint32(0), width=w, height=h, spp=spp,
+        samples_per_pass=1, max_depth=depth, t_min=1e-3))
+    # Honest segment count from an (untimed) forward render.
+    _, segs = _jax.jit(lambda s, c: render_lib.render_radiance(
+        s, c, jnp.uint32(0), width=w, height=h, spp=spp, samples_per_pass=1,
+        max_depth=depth, t_min=1e-3, differentiable=True))(scene, cam)
+    segs = int(segs)
+    t0 = time.perf_counter()
+    loss, grads = step(params, scene, cam, target)
+    jax.block_until_ready(grads)
+    compile_s = time.perf_counter() - t0
+    gnorm = float(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)) ** 0.5)
+    assert np.isfinite(gnorm) and gnorm > 0.0, gnorm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(params, scene, cam, target)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return dt, segs, compile_s, {"fwd_bwd": True, "grad_leaves": len(jax.tree.leaves(grads)),
+                                 "grad_norm": round(gnorm, 5)}
+
+
 def run_one(name):
     builder, w, h, spp, depth, mode = CONFIGS[name]
     scene, cp = builder()
     cam = camera_lib.make_camera(aspect_ratio=w / h, **cp)
-    runner = run_adaptive if mode == "adaptive" else run_forward
+    runner = {"adaptive": run_adaptive, "grad": run_grad}.get(mode, run_forward)
     dt, segs, compile_s, extra = runner(scene, cam, w, h, spp, depth)
     rec = {
         "scene": name, "config": f"{w}x{h} spp{spp} depth{depth} {mode}",
