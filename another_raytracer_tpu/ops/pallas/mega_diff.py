@@ -1,0 +1,210 @@
+"""Fused differentiable forward path: megakernel primal + replay backward.
+
+The headline fwd+bwd step spent three rounds flat at ~183 Mrays/s because
+its forward pass re-runs the full XLA wavefront (closest-hit sweep 43%,
+shading 30%) to build autodiff residuals.  For the scene class where the
+radiance is an explicit multiplicative chain — lambertian + diffuse-light
+materials with solid textures, sweep-regime geometry (exactly the Cornell
+box bench) — none of that is necessary:
+
+  L_lane = sum_chains sum_k (prod_{j<k} ca[t_j]) * x_k,
+  x_k = ca[t_k] (light hit) or background (miss),
+
+so the complete gradient w.r.t. the shading parameters is a function of
+(a) the per-iteration winner TEXTURE ids and event flags and (b) the
+current parameter values.  The forward pass therefore runs the
+whole-wavefront megakernel (ops/pallas/mega_kernel.py) with residual
+recording (one int32 code row per while iteration: tex_id*8 +
+chain_end*4 + event), and the backward is a cheap pure-XLA replay over
+those codes:
+
+  * forward replay: prefix throughputs T (reset at chain ends), storing
+    T_prev per iteration;
+  * reverse replay: suffix values R (R <- x + a*R, zeroed at chain ends),
+    accumulating cot(a_i) = ghat * T_prev_i * R_after_i into per-texture
+    per-lane accumulators, then one reduction per (texture, channel).
+
+No sweep, no hit-record recompute, no shading math in the backward.
+
+Gradient scope (by construction of the gate): d/d tex_ca and
+d/d background are EXACT (they are the only parameters the radiance
+depends on for this scene class — scatter directions are parameter-free
+for lambertian, dielectric/metal/fuzz/ir/atlas are absent, tex_cb/cc
+unused by solid textures).  Geometry cotangents (sphere centers, rect
+params) are returned as ZERO: this path serves the shading-parameter
+training step (grad/diff.py DEFAULT_TRAINABLE); geometry-trainable runs
+must disable it (FUSED_DIFF = False) — CPU runs (all tests/demos of
+geometry gradients) never take it anyway.
+
+Numerics: the primal is the megakernel (ulp-level transcendental
+divergence from XLA, validated in scripts/ab_mega.py); the gradients are
+exact functions of the recorded winners + parameters, verified against
+XLA autodiff in tests/test_mega_diff.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from another_raytracer_tpu.models import scene as scene_lib
+from another_raytracer_tpu.ops.pallas import mega_kernel
+from another_raytracer_tpu.ops.vec3 import V3
+
+# Trace-time knob: None = auto (TPU + supports_diff), False = off,
+# True = force (CPU uses interpret mode; tests).
+FUSED_DIFF = None
+
+# Residual memory bound: codes [iters, B] int32 + T_prev 3x[iters, B] f32.
+MAX_RECORD_ITERS = 512
+MAX_TEXTURES = 16
+
+
+def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
+                  max_depth: int) -> bool:
+    per_lane_samples = -(-int(spp_cap) // max(int(sample_stride), 1))
+    return (
+        mega_kernel.supports(scene, cam)
+        and set(scene.mat_kinds) <= {scene_lib.MAT_LAMBERTIAN,
+                                     scene_lib.MAT_DIFFUSE_LIGHT}
+        and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID}
+        and scene.tex_kind.shape[0] <= MAX_TEXTURES
+        and per_lane_samples * max_depth <= MAX_RECORD_ITERS
+    )
+
+
+def enabled(scene, cam, spp_cap, sample_stride, max_depth) -> bool:
+    if FUSED_DIFF is False:
+        return False
+    ok = supports_diff(scene, cam, spp_cap, sample_stride, max_depth)
+    if FUSED_DIFF is True:
+        if not ok:
+            raise ValueError("FUSED_DIFF forced on but unsupported")
+        return True
+    return ok and jax.default_backend() not in ("cpu",)
+
+
+def _zero_cot(x):
+    if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _traced(cfg, scene, cam, pixel_ids, sample_ids0, seed):
+    out, _ = _traced_fwd(cfg, scene, cam, pixel_ids, sample_ids0, seed)
+    return out
+
+
+def _traced_fwd(cfg, scene, cam, pixel_ids, sample_ids0, seed):
+    (width, height, sample_stride, spp_cap, max_depth, t_min, record_iters,
+     interpret) = cfg
+    total, segments, codes, tprev = mega_kernel.trace_regenerative_mega(
+        scene, cam, pixel_ids, sample_ids0, seed,
+        width=width, height=height, sample_stride=sample_stride,
+        sample_end=spp_cap, spp_cap=spp_cap, max_depth=max_depth,
+        t_min=t_min, interpret=interpret, record_iters=record_iters,
+    )
+    res = (codes, tprev, scene.tex_ca, scene.background, scene, cam,
+           pixel_ids, sample_ids0)
+    return (total, segments), res
+
+
+def _traced_bwd(cfg, res, cot):
+    codes, tprev_v3, ca, bg, scene, cam, pixel_ids, sample_ids0 = res
+    cot_total, _cot_segments = cot
+    ghat = (cot_total.x, cot_total.y, cot_total.z)  # [B] per channel
+    tprev = (tprev_v3.x, tprev_v3.y, tprev_v3.z)  # [iters, B] each
+    T = ca.shape[0]
+    cav = [tuple(ca[t, c] for c in range(3)) for t in range(T)]
+    bgv = tuple(bg[c] for c in range(3))
+
+    def decode(row):
+        ev = row & 3
+        end = (row & 4) != 0
+        tid = row >> 3
+        return ev, end, tid
+
+    def albedo(tid):
+        # T is tiny and static: masked select-sum, no gathers.
+        out = [jnp.zeros_like(ghat[0]) for _ in range(3)]
+        for t in range(T):
+            m = tid == t
+            for c in range(3):
+                out[c] = jnp.where(m, cav[t][c], out[c])
+        return out
+
+    # ---- reverse replay: suffix values + gradient accumulation ------------
+    # (prefix throughputs T_prev come straight from the kernel's residual
+    # rows — no forward replay, no [iters, B] stacking in XLA)
+    zeros = jnp.zeros_like(ghat[0])
+    acc0 = tuple(tuple(zeros for _ in range(3)) for _ in range(T))
+
+    def bwd_body(carry, x):
+        r, acc, gbg = carry
+        row, tpx, tpy, tpz = x
+        tp_prev = (tpx, tpy, tpz)
+        ev, end, tid = decode(row)
+        a = albedo(tid)
+        scat = ev == 1
+        light = ev == 2
+        miss = ev == 3
+        r_after = tuple(jnp.where(end, 0.0, r[c]) for c in range(3))
+        # terminal-event cotangents: cot(x_i) = ghat * T_prev
+        gterm = tuple(ghat[c] * tp_prev[c] for c in range(3))
+        gbg = tuple(gbg[c] + jnp.where(miss, gterm[c], 0.0) for c in range(3))
+        # scatter cotangent: cot(a_i) = ghat * T_prev * R_after
+        gsc = tuple(gterm[c] * r_after[c] for c in range(3))
+        acc = tuple(
+            tuple(
+                acc[t][c]
+                + jnp.where((tid == t) & scat, gsc[c], 0.0)
+                + jnp.where((tid == t) & light, gterm[c], 0.0)
+                for c in range(3))
+            for t in range(T))
+        # suffix update R <- x_i + a_i * R_after
+        r = tuple(
+            jnp.where(scat, a[c] * r_after[c],
+                      jnp.where(light, a[c],
+                                jnp.where(miss, bgv[c], r[c])))
+            for c in range(3))
+        return (r, acc, gbg), None
+
+    (r, acc, gbg), _ = jax.lax.scan(
+        bwd_body, ((zeros, zeros, zeros), acc0, (zeros, zeros, zeros)),
+        (codes, tprev[0], tprev[1], tprev[2]), reverse=True, unroll=8)
+
+    grad_ca = jnp.stack(
+        [jnp.stack([jnp.sum(acc[t][c]) for c in range(3)]) for t in range(T)])
+    grad_bg = jnp.stack([jnp.sum(gbg[c]) for c in range(3)])
+
+    scene_bar = jax.tree.map(_zero_cot, scene)
+    scene_bar = scene_bar.replace(
+        tex_ca=grad_ca.astype(ca.dtype), background=grad_bg.astype(bg.dtype))
+    cam_bar = jax.tree.map(_zero_cot, cam)
+    return (scene_bar, cam_bar, _zero_cot(pixel_ids), _zero_cot(sample_ids0),
+            np.zeros((), jax.dtypes.float0))
+
+
+_traced.defvjp(_traced_fwd, _traced_bwd)
+
+
+def radiance_fused(scene, cam, pixel_ids, sample_ids0, seed, *, width, height,
+                   sample_stride, spp_cap, max_depth, t_min,
+                   interpret=None):
+    """Differentiable (V3 radiance [B], segments) via the fused path.
+
+    ``spp_cap`` is the full static sample budget (the fused path always
+    traces the whole [0, spp_cap) range — the bench/training entry points
+    do exactly that)."""
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    per_lane = -(-int(spp_cap) // max(int(sample_stride), 1))
+    record_iters = per_lane * max_depth
+    cfg = (width, height, int(sample_stride), int(spp_cap), int(max_depth),
+           float(t_min), int(record_iters), bool(interpret))
+    return _traced(cfg, scene, cam, jnp.asarray(pixel_ids, jnp.uint32),
+                   jnp.asarray(sample_ids0, jnp.uint32), jnp.uint32(seed))

@@ -70,6 +70,7 @@ ROW_W = 32
 # Shared material slots (identical for both primitive kinds).
 _C_MKIND, _C_FUZZ, _C_IR, _C_TKIND = 16, 17, 18, 19
 _C_CA, _C_CB = 20, 23
+_C_TID = 26  # texture id (exact in f32) — folded only when recording codes
 
 # Module A/B knob: None = auto (TPU and supports(scene, cam)); True forces
 # (errors if unsupported); False disables.  Trace-time flag — flip only with
@@ -122,9 +123,11 @@ def _mat_cols(scene, mat_ids):
     tk = scene.tex_kind[tex].astype(jnp.float32)
     ca = scene.tex_ca[tex]
     cb = scene.tex_cb[tex]
-    pad = jnp.zeros((mat_ids.shape[0], ROW_W - _C_CB - 3), jnp.float32)
+    tid = tex.astype(jnp.float32)
+    pad = jnp.zeros((mat_ids.shape[0], ROW_W - _C_TID - 1), jnp.float32)
     return jnp.concatenate(
-        [mk[:, None], fuzz[:, None], ir[:, None], tk[:, None], ca, cb, pad],
+        [mk[:, None], fuzz[:, None], ir[:, None], tk[:, None], ca, cb,
+         tid[:, None], pad],
         axis=1)
 
 
@@ -182,12 +185,22 @@ def pack_rows(scene):
 
 
 def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
-            out_tx, out_ty, out_tz, out_seg,
-            ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tm_s,
-            tpx_s, tpy_s, tpz_s, prx_s, pry_s, prz_s,
-            samp_s, bounce_s, alive_s, *,
+            out_tx, out_ty, out_tz, out_seg, *refs,
             n_spheres, n_rects, mat_kinds, tex_kinds, has_lens, has_time,
-            max_depth, t_min, width, height):
+            max_depth, t_min, width, height, max_iters=0):
+    # Optional residual-recording outputs (the differentiable fused path,
+    # ops/pallas/mega_diff.py): per while iteration, one int32 code row —
+    # code = tex_id * 8 + chain_end * 4 + event with event 0=dead,
+    # 1=scatter, 2=light-hit, 3=miss — and the three channels of the
+    # iteration-ENTRY throughput (T_prev: the replay backward needs it and
+    # the kernel already holds it in VMEM, so writing it here saves the
+    # bwd an entire forward-replay scan + its [iters,B] stacking DUSes).
+    # Enabled when max_iters > 0.
+    if max_iters:
+        out_code, out_tpx, out_tpy, out_tpz, *refs = refs
+    (ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tm_s,
+     tpx_s, tpy_s, tpz_s, prx_s, pry_s, prz_s,
+     samp_s, bounce_s, alive_s) = refs
     # np scalars, NOT jnp: jnp constants built outside the traced body would
     # be captured-constant arrays, which pallas_call rejects.
     f32 = np.float32
@@ -287,12 +300,18 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
     out_ty[:] = z
     out_tz[:] = z
     out_seg[:] = alive0.astype(jnp.int32)
+    if max_iters:
+        out_code[:] = jnp.zeros_like(out_code[:])
+        out_tpx[:] = jnp.zeros_like(out_tpx[:])
+        out_tpy[:] = jnp.zeros_like(out_tpy[:])
+        out_tpz[:] = jnp.zeros_like(out_tpz[:])
 
-    def body(_carry):
+    def body(carry):
+        _count, it = carry
         o = (ox_s[:], oy_s[:], oz_s[:])
         d = (dx_s[:], dy_s[:], dz_s[:])
         tmv = tm_s[:]
-        tp = (tpx_s[:], tpy_s[:], tpz_s[:])
+        tp = tp_entry = (tpx_s[:], tpy_s[:], tpz_s[:])
         path = (prx_s[:], pry_s[:], prz_s[:])
         sample = samp_s[:]
         bounce = bounce_s[:]
@@ -307,10 +326,13 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
         b_tk = z if has_checker else None
         b_fuzz = z if has_metal else None
         b_ir = z if has_diel else None
+        b_tid = z if max_iters else None
 
         def fold(valid, t, n, r):
-            nonlocal best_t, b_n, b_mk, b_ca, b_cb, b_tk, b_fuzz, b_ir
+            nonlocal best_t, b_n, b_mk, b_ca, b_cb, b_tk, b_fuzz, b_ir, b_tid
             best_t = jnp.where(valid, t, best_t)
+            if max_iters:
+                b_tid = jnp.where(valid, r[_C_TID], b_tid)
             b_n = tuple(jnp.where(valid, n[c], b_n[c]) for c in range(3))
             b_mk = jnp.where(valid, r[_C_MKIND], b_mk)
             b_ca = tuple(jnp.where(valid, r[_C_CA + c], b_ca[c])
@@ -464,6 +486,25 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
         seg = out_seg[:] + scattered.astype(jnp.int32)
 
         ended = alive & ~alive_next
+        if max_iters:
+            # Residual code row for the fused differentiable path.
+            ev = scattered.astype(jnp.int32) + jnp.where(miss_now, 3, 0)
+            if has_light:
+                ev = ev + jnp.where(hit & is_light, 2, 0)
+            tid8 = jnp.where(ev > 0, b_tid.astype(jnp.int32) * 8, 0)
+            code = tid8 + jnp.where(ended, 4, 0) + ev
+
+            blk = out_code.shape[0] // max_iters
+
+            @pl.when(it < max_iters)
+            def _():
+                # multiple_of: Mosaic must prove T(1024) tile alignment of
+                # the dynamic row offset (blk is a multiple of 1024).
+                row = pl.ds(pl.multiple_of(it * blk, 1024), blk)
+                out_code[row] = code
+                out_tpx[row] = tp_entry[0]
+                out_tpy[row] = tp_entry[1]
+                out_tpz[row] = tp_entry[2]
         out_tx[:] = out_tx[:] + jnp.where(ended, path[0], 0.0)
         out_ty[:] = out_ty[:] + jnp.where(ended, path[1], 0.0)
         out_tz[:] = out_tz[:] + jnp.where(ended, path[2], 0.0)
@@ -488,10 +529,10 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
         samp_s[:] = next_sample
         bounce_s[:] = bounce
         alive_s[:] = alive_next.astype(jnp.int32)
-        return jnp.sum(alive_next.astype(jnp.int32))
+        return jnp.sum(alive_next.astype(jnp.int32)), it + 1
 
-    jax.lax.while_loop(lambda c: c > 0, body,
-                       jnp.sum(alive0.astype(jnp.int32)))
+    jax.lax.while_loop(lambda c: c[0] > 0, body,
+                       (jnp.sum(alive0.astype(jnp.int32)), jnp.int32(0)))
 
 
 # --------------------------------------------------------------------------
@@ -502,11 +543,17 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
 def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
                             width: int, height: int, sample_stride: int,
                             sample_end, spp_cap, max_depth: int, t_min: float,
-                            block: int = DEFAULT_BLOCK, interpret: bool = False):
+                            block: int = DEFAULT_BLOCK, interpret: bool = False,
+                            record_iters: int = 0):
     """Drop-in megakernel replacement for integrator.trace_regenerative
     (same signature + return contract) for scenes where supports() holds.
 
-    Returns (radiance V3 [B] per-lane sums, segments int32)."""
+    Returns (radiance V3 [B] per-lane sums, segments int32); with
+    ``record_iters`` > 0 returns (radiance, segments, codes [record_iters,B]
+    int32) — the per-iteration residual codes of the fused differentiable
+    path (mega_diff.py).  record_iters MUST bound the while trip count
+    (per-lane iterations <= samples x depth, and the trip is the max over
+    a block's lanes, so spp_cap * max_depth is always safe)."""
     B = pixel_ids.shape[0]
     limit = jnp.minimum(jnp.uint32(sample_end), jnp.uint32(spp_cap))
 
@@ -539,11 +586,25 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
     ray_spec = pl.BlockSpec((block,), lambda i, *_: (i,),
                             memory_space=pltpu.VMEM)
 
+    out_specs = [ray_spec] * 4
+    out_shapes = [lane(jnp.float32)] * 3 + [lane(jnp.int32)]
+    if record_iters:
+        # Per-block-contiguous flat residual layout (codes + 3 throughput
+        # channels): block i owns [i*record_iters*block, (i+1)*...);
+        # unscrambled below.
+        flat_spec = pl.BlockSpec((record_iters * block,), lambda i, *_: (i,),
+                                 memory_space=pltpu.VMEM)
+        out_specs.extend([flat_spec] * 4)
+        out_shapes.append(lane_struct(((B + pad) * record_iters,),
+                                      jnp.int32, fi))
+        out_shapes.extend(
+            [lane_struct(((B + pad) * record_iters,), jnp.float32, fi)] * 3)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[ray_spec] * 4,
-        out_specs=[ray_spec] * 4,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((block,), jnp.float32)] * 13
         + [pltpu.VMEM((block,), jnp.uint32)] * 2
         + [pltpu.VMEM((block,), jnp.int32)],
@@ -555,13 +616,23 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         mat_kinds=scene.mat_kinds, tex_kinds=scene.tex_kinds,
         has_lens=cam.has_lens, has_time=cam.has_time and scene.has_motion,
         max_depth=max_depth, t_min=t_min, width=width, height=height,
+        max_iters=record_iters,
     )
-    tx, ty, tz, seg = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[lane(jnp.float32)] * 3 + [lane(jnp.int32)],
+        out_shape=out_shapes,
         interpret=interpret,
     )(uic, rows, camc, pixel_ids, fi, fj, sample_ids0)
+    tx, ty, tz, seg = out[:4]
 
     total = V3(tx[:B], ty[:B], tz[:B])
+    if record_iters:
+        def rows(a):
+            a = a.reshape((B + pad) // block, record_iters, block)
+            return a.transpose(1, 0, 2).reshape(record_iters, B + pad)[:, :B]
+
+        codes = rows(out[4])
+        tprev = V3(rows(out[5]), rows(out[6]), rows(out[7]))
+        return total, jnp.sum(seg[:B]), codes, tprev
     return total, jnp.sum(seg[:B])

@@ -78,6 +78,23 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         acc = acc.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
         return acc, segments
 
+    if (differentiable and isinstance(sample_start, int) and sample_start == 0
+            and n_samples == spp_cap):
+        from another_raytracer_tpu.ops.pallas import mega_diff
+
+        if mega_diff.enabled(scene, cam, spp_cap, spass, max_depth):
+            # Fused differentiable path (lambertian/light + solid sweep
+            # scenes): megakernel primal with residual codes + pure-replay
+            # backward — no sweep or shading recompute in the bwd.  Exact
+            # for the shading-parameter gradients this render exposes; see
+            # ops/pallas/mega_diff.py for the gradient-scope contract.
+            acc, segments = mega_diff.radiance_fused(
+                scene, cam, pix, samp_offsets, seed, width=width,
+                height=height, sample_stride=spass, spp_cap=spp_cap,
+                max_depth=max_depth, t_min=t_min)
+            acc = acc.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
+            return acc, segments
+
     def one_pass(carry, chunk):
         acc, segments = carry
         sample_ids = samp_offsets + sample_start + chunk * spass
