@@ -210,7 +210,7 @@ _MESH_CAMERAS = {
 }
 
 
-def mesh_scene(seed: int = 1234, obj_path=None):
+def mesh_scene(seed: int = 1234, obj_path=None, **build_kw):
     """Textured capsule mesh + light + global mist (scene_manager.cpp:236-258,
     camera table 330-348)."""
     from pathlib import Path
@@ -224,7 +224,11 @@ def mesh_scene(seed: int = 1234, obj_path=None):
     b.xz_rect(123, 423, 147, 412, 554, b.diffuse_light(color=(7, 7, 7)))
     b.constant_medium_sphere((0, 0, 0), 5000, 1e-4, color=(1, 1, 1))
     lookfrom, lookat = _MESH_CAMERAS.get(Path(path).stem, ((2, 2, 1), (0, 0, 0)))
-    return b.build(), _cam(lookfrom, lookat, 75.0)
+    # Packet-kernel block tuned on-chip (scripts/ab_mesh_block.py,
+    # 2026-08-21, capsule 720x540 spp16): blk 4096 = 526 ms vs 562 at 2048
+    # and 554 at 8192 (the final scene prefers its default 2048).
+    build_kw = {"bvh_block": 4096, **build_kw}
+    return b.build(**build_kw), _cam(lookfrom, lookat, 75.0)
 
 
 _BUILDERS = {

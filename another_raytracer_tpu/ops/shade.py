@@ -35,7 +35,28 @@ PERLIN_N = scene_lib.PERLIN_POINT_COUNT
 # standalone 90k-element gather measures ~0.03 ms on v5e while the
 # trace-named gather fusion in the textures render costs 0.64 ms/call —
 # probing whether the fusion context forces XLA's slow serial emitter.
+# MEASURED NEUTRAL and bit-identical (2026-08-21): the emitter is fine;
+# the cost is the 2 MB atlas staying HBM-resident (latency-bound random
+# reads at ~7 ns/element, rate confirmed across stage widths).
 ATLAS_BARRIER = False
+
+# Shade-time sub-compaction of the texel fetch (scripts/ab_atlas_compact.py):
+# gather atlas texels only for lanes whose WINNER texture is the image —
+# the fetch is latency-bound per element, so cost scales with the lane
+# count.  Lanes with rank <= B//DIV are gathered into a compact buffer and
+# scattered back; if more than B//DIV lanes need texels (cond guard), the
+# full-width gather runs instead — always correct.  Forward-only
+# (fast_texel), like the packed-atlas path itself.
+# MEASURED 3.5x SLOWER in-process (textures 50.3 -> 176.2 ms, 2026-08-21,
+# scripts/ab_atlas_compact.py, bit-identical output): the per-bounce
+# cumsum + searchsorted + scatter machinery costs far more than the
+# latency-bound gather it shrinks.  Default stays False; the atlas gather
+# (58% of textures post-perlin-kernel) remains an open structural item —
+# a per-lane VMEM gather simply does not exist on this hardware
+# generation (tpu.dynamic_gather indexes only within 128 lanes).
+ATLAS_COMPACT = False
+ATLAS_COMPACT_DIV = 4
+ATLAS_COMPACT_MIN_B = 32768
 
 
 # --------------------------------------------------------------------------
@@ -200,7 +221,33 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
                 import jax
 
                 (pidx,) = jax.lax.optimization_barrier((pidx,))
-            pk = scene.atlas_packed[pidx]
+            B = pidx.shape[0]
+            if ATLAS_COMPACT and B >= ATLAS_COMPACT_MIN_B:
+                import jax
+
+                cap = B // ATLAS_COMPACT_DIV
+                is_img = kind == scene_lib.TEX_IMAGE
+                csum = jnp.cumsum(is_img.astype(jnp.int32))
+                count = csum[-1]
+
+                def compact(_):
+                    ranks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+                    src = jnp.searchsorted(csum, ranks, side="left")
+                    valid = ranks <= count
+                    srcc = jnp.minimum(src, B - 1)
+                    texel = scene.atlas_packed[pidx[srcc]]
+                    # distinct out-of-bounds sentinels for dropped lanes
+                    # (unique_indices contract, see integrator scatter-back)
+                    dst = jnp.where(valid, srcc, B + ranks)
+                    return jnp.zeros((B,), texel.dtype).at[dst].set(
+                        texel, mode="drop", unique_indices=True)
+
+                def full(_):
+                    return scene.atlas_packed[pidx]
+
+                pk = jax.lax.cond(count <= cap, compact, full, None)
+            else:
+                pk = scene.atlas_packed[pidx]
             if ATLAS_BARRIER:
                 import jax
 

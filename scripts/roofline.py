@@ -34,6 +34,33 @@ MXU_F32 = 49e12
 VPU_F32 = 4.9e12
 
 
+def _module_device_seconds(logdir):
+    """Total XLA-module device span in the newest trace, in seconds."""
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))
+    tr = json.loads(gzip.open(files[-1]).read())
+    events = tr["traceEvents"]
+    dev_pid = None
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e.get("args", {}).get("name", ""):
+            dev_pid = e["pid"]
+    tidname = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("pid") == dev_pid \
+                and e.get("name") == "thread_name":
+            tidname[e["tid"]] = e["args"]["name"]
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") == dev_pid \
+                and tidname.get(e.get("tid")) == "XLA Modules":
+            total += e["dur"]
+    return total / 1e6
+
+
 def main():
     from another_raytracer_tpu.grad import diff
     from another_raytracer_tpu.models import library
@@ -45,12 +72,12 @@ def main():
     target = jnp.zeros((W * H, 3), jnp.float32)
 
     step = jax.jit(
-        lambda p, s, c, t: jax.value_and_grad(diff.render_loss)(
-            p, s, c, t, jnp.uint32(0), width=W, height=H, spp=SPP,
+        lambda p, s, c, t, sd: jax.value_and_grad(diff.render_loss)(
+            p, s, c, t, sd, width=W, height=H, spp=SPP,
             samples_per_pass=SPASS, max_depth=DEPTH, t_min=1e-3,
         )
     )
-    lowered = step.lower(params, scene, cam, target)
+    lowered = step.lower(params, scene, cam, target, jnp.uint32(0))
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
@@ -60,14 +87,23 @@ def main():
     print(f"XLA cost model: {flops/1e9:.1f} GFLOP, "
           f"{bytes_acc/1e9:.2f} GB accessed per step")
 
-    loss, grads = step(params, scene, cam, target)
+    # DEVICE time from the profiler trace, not wall clock: on the remote
+    # tunnel block_until_ready returns before the device work completes
+    # (measured walls below 1 ms for steps whose device trace shows
+    # ~10 ms — including 100 chained distinct-seed steps "completing" in
+    # 20 ms total), so wall-clock here measures dispatch throughput.  The
+    # XLA-module span in the device trace is the honest denominator.
+    loss, grads = step(params, scene, cam, target, jnp.uint32(0))
     jax.block_until_ready(grads)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        loss, grads = step(params, scene, cam, target)
+    reps = 3
+    logdir = "/tmp/artpu_roofline_trace"
+    jax.profiler.start_trace(logdir)
+    for r in range(reps):
+        loss, grads = step(params, scene, cam, target, jnp.uint32(r + 1))
     jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / reps
+    time.sleep(1.0)
+    jax.profiler.stop_trace()
+    dt = _module_device_seconds(logdir) / reps
     print(f"measured: {dt*1000:.1f} ms/step")
 
     f_rate = flops / dt
