@@ -78,18 +78,49 @@ _C_TID = 26  # texture id (exact in f32) — folded only when recording codes
 MEGA_FORWARD = None
 
 
+def _shading_ok(scene) -> bool:
+    return (
+        scene.n_media == 0
+        and scene.n_triangles == 0
+        and set(scene.mat_kinds) <= {
+            scene_lib.MAT_LAMBERTIAN, scene_lib.MAT_METAL,
+            scene_lib.MAT_DIELECTRIC, scene_lib.MAT_DIFFUSE_LIGHT}
+        and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID,
+                                     scene_lib.TEX_CHECKER}
+    )
+
+
 def supports(scene, cam) -> bool:
-    """Static applicability check (all fields consulted are non-pytree)."""
-    mats = set(scene.mat_kinds)
-    texs = set(scene.tex_kinds)
+    """Static applicability check, sweep mode (all fields non-pytree)."""
     return (
         not scene.has_accel
-        and scene.n_media == 0
-        and scene.n_triangles == 0
         and 0 < (scene.n_spheres + scene.n_rects) <= 64
-        and mats <= {scene_lib.MAT_LAMBERTIAN, scene_lib.MAT_METAL,
-                     scene_lib.MAT_DIELECTRIC, scene_lib.MAT_DIFFUSE_LIGHT}
-        and texs <= {scene_lib.TEX_SOLID, scene_lib.TEX_CHECKER}
+        and _shading_ok(scene)
+    )
+
+
+# VMEM budget for the accel-mode sphere tree (rows pad 32->128 lanes).
+ACCEL_MAX_ROWS = 8192
+
+
+def supports_accel(scene, cam) -> bool:
+    """Static applicability, BVH mode: a single sphere tree traversed
+    in-kernel (packet DFS, materials folded during leaf tests).
+
+    Validated on-chip (scripts/ab_mega.py random: 99.44% pixels within
+    2/255, 0.012% segment drift) but measured NEUTRAL on the random bench
+    at the tuned block 8192 (80.7 vs 84.8 ms; 1.9x WORSE at block 1024 —
+    a block's traversal union saturates the 970-sphere tree, so the fused
+    shading savings are offset by per-leaf material folds).  Auto-enable
+    therefore covers sweep scenes only; force with MEGA_FORWARD = True."""
+    return (
+        scene.sph_in_bvh
+        and scene.n_sph_bvh_nodes > 0
+        and scene.n_bvh_nodes == 0
+        and scene.n_rect_bvh_nodes == 0
+        and scene.n_rects == 0
+        and scene.sph_bvh_rows.shape[0] <= ACCEL_MAX_ROWS
+        and _shading_ok(scene)
     )
 
 
@@ -97,9 +128,11 @@ def enabled(scene, cam) -> bool:
     if MEGA_FORWARD is False:
         return False
     if MEGA_FORWARD is True:
-        if not supports(scene, cam):
+        if not (supports(scene, cam) or supports_accel(scene, cam)):
             raise ValueError("MEGA_FORWARD forced on but scene unsupported")
         return True
+    # Auto: sweep scenes only (accel mode measured neutral on its bench —
+    # see supports_accel).
     return supports(scene, cam) and jax.default_backend() not in ("cpu",)
 
 
@@ -184,10 +217,22 @@ def pack_rows(scene):
 # --------------------------------------------------------------------------
 
 
-def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
-            out_tx, out_ty, out_tz, out_seg, *refs,
+def _kernel(*args,
             n_spheres, n_rects, mat_kinds, tex_kinds, has_lens, has_time,
-            max_depth, t_min, width, height, max_iters=0):
+            max_depth, t_min, width, height, max_iters=0,
+            accel=False, leaf_size=0, n_nodes=0):
+    if accel:
+        # BVH mode: node columns via scalar prefetch, leaf rows in VMEM
+        # (dynamic per-row scalar reads, bvh_kernel pattern), plus fold
+        # scratch for the traversal's best-hit state.
+        (uic, camc, lox_r, loy_r, loz_r, hix_r, hiy_r, hiz_r, esc_r, meta_r,
+         rows_ref, pix_ref, fi_ref, fj_ref, samp_ref,
+         out_tx, out_ty, out_tz, out_seg, *refs) = args
+        (bt_s, bnx_s, bny_s, bnz_s, bmk_s, bca0_s, bca1_s, bca2_s,
+         bcb0_s, bcb1_s, bcb2_s, btk_s, bfz_s, bir_s, *refs) = refs
+    else:
+        (uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
+         out_tx, out_ty, out_tz, out_seg, *refs) = args
     # Optional residual-recording outputs (the differentiable fused path,
     # ops/pallas/mega_diff.py): per while iteration, one int32 code row —
     # code = tex_id * 8 + chain_end * 4 + event with event 0=dead,
@@ -226,7 +271,9 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
     limit = uic[1]
     stride = uic[2]
 
-    rows = [[rows_sm[j * ROW_W + c] for c in range(ROW_W)] for j in range(N)]
+    if not accel:
+        rows = [[rows_sm[j * ROW_W + c] for c in range(ROW_W)]
+                for j in range(N)]
 
     pix = pix_ref[:]
     fi = fi_ref[:]
@@ -317,16 +364,149 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
         bounce = bounce_s[:]
         alive = alive_s[:] > 0
 
+        a_len = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        if accel:
+            # ---- packet DFS over the sphere tree (bvh_kernel pattern):
+            # ONE scalar cursor per block, vector slab/leaf tests; the
+            # best-hit + material fold state lives in scratch refs.
+            # Dead lanes are parked far outside every scene's bounds with
+            # zeroed directions so slab tests reject them in one compare
+            # (integrator._park_dead semantics).
+            ot = tuple(jnp.where(alive, o[c], 1e8) for c in range(3))
+            dt_ = tuple(jnp.where(alive, d[c], 0.0) for c in range(3))
+
+            def safe_inv(c):
+                return 1.0 / jnp.where(jnp.abs(c) < 1e-20,
+                                       jnp.where(c < 0, -1e-20, 1e-20), c)
+
+            inv = (safe_inv(dt_[0]), safe_inv(dt_[1]), safe_inv(dt_[2]))
+            a_trav = dt_[0] * dt_[0] + dt_[1] * dt_[1] + dt_[2] * dt_[2]
+            inv_a = 1.0 / jnp.where(a_trav > 0.0, a_trav, 1.0)
+            los = (lox_r, loy_r, loz_r)
+            his = (hix_r, hiy_r, hiz_r)
+
+            bt_s[:] = z + BIG
+            bnx_s[:] = z
+            bny_s[:] = z
+            bnz_s[:] = z
+            bmk_s[:] = z
+            bca0_s[:] = z
+            bca1_s[:] = z
+            bca2_s[:] = z
+            if has_checker:
+                bcb0_s[:] = z
+                bcb1_s[:] = z
+                bcb2_s[:] = z
+                btk_s[:] = z
+            if has_metal:
+                bfz_s[:] = z
+            if has_diel:
+                bir_s[:] = z
+
+            def slab(j, bt):
+                tn = jnp.full_like(bt, t_min)
+                tf = bt
+                for c in range(3):
+                    lo = los[c][j]
+                    hi = his[c][j]
+                    ta = (lo - ot[c]) * inv[c]
+                    tb = (hi - ot[c]) * inv[c]
+                    tn = jnp.maximum(tn, jnp.minimum(ta, tb))
+                    tf = jnp.minimum(tf, jnp.maximum(ta, tb))
+                return tn < tf
+
+            def tbody(j):
+                bt = bt_s[:]
+                hit_box = slab(j, bt)
+                any_hit = jnp.any(hit_box)
+                meta = meta_r[j]
+                count = jax.lax.rem(meta, 64)
+                first = jax.lax.div(meta, 64)
+                esc = esc_r[j]
+
+                @pl.when(any_hit & (count > 0))
+                def _():
+                    bt2 = bt_s[:]
+                    for k in range(leaf_size):
+                        row = first + k
+                        # sphere leaf test (bvh_kernel.sphere_test cols)
+                        frac = (tmv - rows_ref[row, 6]) * rows_ref[row, 7]
+                        cx = rows_ref[row, 0] + frac * rows_ref[row, 3]
+                        cy = rows_ref[row, 1] + frac * rows_ref[row, 4]
+                        cz = rows_ref[row, 2] + frac * rows_ref[row, 5]
+                        rr_ = rows_ref[row, 8]
+                        ocx = ot[0] - cx
+                        ocy = ot[1] - cy
+                        ocz = ot[2] - cz
+                        half_b = (ocx * dt_[0] + ocy * dt_[1] + ocz * dt_[2])
+                        cc = ocx * ocx + ocy * ocy + ocz * ocz - rr_ * rr_
+                        disc = half_b * half_b - a_trav * cc
+                        okk = disc > 0.0
+                        sq = jnp.sqrt(jnp.where(okk, disc, 0.0))
+                        root1 = (-half_b - sq) * inv_a
+                        r1ok = (root1 > t_min) & (root1 < bt2)
+                        t = jnp.where(r1ok, root1, (-half_b + sq) * inv_a)
+                        valid = (okk & (t > t_min) & (t < bt2)
+                                 & (k < count) & hit_box)
+                        inv_r = 1.0 / jnp.where(rr_ != 0.0, rr_, 1.0)
+                        nx = (ot[0] + t * dt_[0] - cx) * inv_r
+                        ny = (ot[1] + t * dt_[1] - cy) * inv_r
+                        nz = (ot[2] + t * dt_[2] - cz) * inv_r
+                        bt2 = jnp.where(valid, t, bt2)
+                        bnx_s[:] = jnp.where(valid, nx, bnx_s[:])
+                        bny_s[:] = jnp.where(valid, ny, bny_s[:])
+                        bnz_s[:] = jnp.where(valid, nz, bnz_s[:])
+                        bmk_s[:] = jnp.where(valid, rows_ref[row, _C_MKIND],
+                                             bmk_s[:])
+                        bca0_s[:] = jnp.where(valid, rows_ref[row, _C_CA],
+                                              bca0_s[:])
+                        bca1_s[:] = jnp.where(valid, rows_ref[row, _C_CA + 1],
+                                              bca1_s[:])
+                        bca2_s[:] = jnp.where(valid, rows_ref[row, _C_CA + 2],
+                                              bca2_s[:])
+                        if has_checker:
+                            bcb0_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_CB], bcb0_s[:])
+                            bcb1_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_CB + 1], bcb1_s[:])
+                            bcb2_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_CB + 2], bcb2_s[:])
+                            btk_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_TKIND], btk_s[:])
+                        if has_metal:
+                            bfz_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_FUZZ], bfz_s[:])
+                        if has_diel:
+                            bir_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_IR], bir_s[:])
+                    bt_s[:] = bt2
+
+                return jnp.where(any_hit, j + 1, esc)
+
+            jax.lax.while_loop(lambda j: j < n_nodes, tbody, jnp.int32(0))
+
+            best_t = bt_s[:]
+            b_n = (bnx_s[:], bny_s[:], bnz_s[:])
+            b_mk = bmk_s[:]
+            b_ca = (bca0_s[:], bca1_s[:], bca2_s[:])
+            b_cb = ((bcb0_s[:], bcb1_s[:], bcb2_s[:])
+                    if has_checker else None)
+            b_tk = btk_s[:] if has_checker else None
+            b_fuzz = bfz_s[:] if has_metal else None
+            b_ir = bir_s[:] if has_diel else None
+            b_tid = None
+
         # ---- closest-hit sweep (intersect.closest_hit order) -------------
-        best_t = z + BIG
-        b_n = (z, z, z)
-        b_mk = z
-        b_ca = (z, z, z)
-        b_cb = (z, z, z) if has_checker else None
-        b_tk = z if has_checker else None
-        b_fuzz = z if has_metal else None
-        b_ir = z if has_diel else None
-        b_tid = z if max_iters else None
+        if not accel:
+            best_t = z + BIG
+            b_n = (z, z, z)
+            b_mk = z
+            b_ca = (z, z, z)
+            b_cb = (z, z, z) if has_checker else None
+            b_tk = z if has_checker else None
+            b_fuzz = z if has_metal else None
+            b_ir = z if has_diel else None
+            b_tid = z if max_iters else None
 
         def fold(valid, t, n, r):
             nonlocal best_t, b_n, b_mk, b_ca, b_cb, b_tk, b_fuzz, b_ir, b_tid
@@ -346,10 +526,11 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
             if has_diel:
                 b_ir = jnp.where(valid, r[_C_IR], b_ir)
 
-        a_len = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-        if n_spheres:
+        n_sweep_sph = 0 if accel else n_spheres
+        n_sweep = 0 if accel else N
+        if n_sweep_sph:
             inv_a = 1.0 / jnp.where(a_len > 0.0, a_len, 1.0)
-        for j in range(n_spheres):
+        for j in range(n_sweep_sph):
             r = rows[j]
             # sphere.h:39-65 / moving_sphere.h:29-31 on world-baked centers.
             frac = (tmv - r[7]) * r[8]
@@ -374,7 +555,7 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
             pz = o[2] + t * d[2]
             n = ((px - cx) * inv_r, (py - cy) * inv_r, (pz - cz) * inv_r)
             fold(valid, t, n, r)
-        for j in range(n_spheres, N):
+        for j in range(n_sweep_sph, n_sweep):
             r = rows[j]
             # World parallelogram == aarect.cpp plane + inclusive bounds.
             n = (r[10], r[11], r[12])
@@ -417,7 +598,12 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
         if need_b_draw:
             u3, u4 = uniform2(sample, bounce, rng.DIM_SCATTER_B)
         if need_sphere_draw:
-            cr = jnp.cbrt(u3)
+            # cbrt has no Mosaic lowering; exp(log(u)/3) is ulp-equivalent
+            # on (0,1) and the where handles u == 0 exactly.
+            cr = jnp.where(
+                u3 > 0.0,
+                jnp.exp(jnp.log(jnp.maximum(u3, f32(1e-38))) * f32(1 / 3)),
+                0.0)
             rand_sph = tuple(rand_unit[c] * cr for c in range(3))
         if need_unit_d:
             inv_len = jax.lax.rsqrt(jnp.where(a_len > 0.0, a_len, 1.0))
@@ -438,7 +624,9 @@ def _kernel(uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
                         + rand_sph[c] * b_fuzz for c in range(3))
             met_ok = met[0] * n[0] + met[1] * n[1] + met[2] * n[2] > 0.0
             new_d = tuple(jnp.where(is_met, met[c], new_d[c]) for c in range(3))
-            ok = jnp.where(is_met, hit & met_ok, ok)
+            # boolean algebra, not where() on bool vectors (i8->i1 trunc
+            # has no Mosaic lowering)
+            ok = (ok & ~is_met) | (is_met & hit & met_ok)
 
         if has_diel:
             is_die = b_mk == f32(scene_lib.MAT_DIELECTRIC)
@@ -557,7 +745,25 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
     B = pixel_ids.shape[0]
     limit = jnp.minimum(jnp.uint32(sample_end), jnp.uint32(spp_cap))
 
-    rows = pack_rows(scene)
+    accel = scene.n_sph_bvh_nodes > 0
+    if accel:
+        assert record_iters == 0, "fused diff path is sweep-scenes only"
+        # Packet traversal wants the scene's tuned block (coherence unions;
+        # 8192 on the random bench), not the sweep default.
+        if block == DEFAULT_BLOCK:
+            block = scene.bvh_block
+        # Widen the packed sphere-tree rows with baked material columns:
+        # slot-9 codes are order*4 + kind, so the original sphere id (and
+        # its material) is recoverable for every leaf-ordered row.  Pad
+        # rows (r == 0, never hit) get sphere 0's materials — inert.
+        rows16 = scene.sph_bvh_rows
+        orig = jnp.clip(rows16[:, 9].astype(jnp.int32) // 4, 0,
+                        scene.n_spheres - 1)
+        rows = jnp.concatenate(
+            [rows16, _mat_cols(scene, scene.sph_mat[orig])], axis=1)
+        nodes = scene.sph_bvh_nodes
+    else:
+        rows = pack_rows(scene)
     camc = jnp.concatenate([
         cam.origin, cam.lower_left - cam.origin, cam.horizontal, cam.vertical,
         cam.u, cam.v,
@@ -600,15 +806,14 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         out_shapes.extend(
             [lane_struct(((B + pad) * record_iters,), jnp.float32, fi)] * 3)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=grid,
-        in_specs=[ray_spec] * 4,
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((block,), jnp.float32)] * 13
+    # The accel fold scratch refs exist only in BVH mode.
+    accel_scratch = (
+        [pltpu.VMEM((block,), jnp.float32)] * 14 if accel else [])
+    scratch_shapes = (
+        accel_scratch
+        + [pltpu.VMEM((block,), jnp.float32)] * 13
         + [pltpu.VMEM((block,), jnp.uint32)] * 2
-        + [pltpu.VMEM((block,), jnp.int32)],
-    )
+        + [pltpu.VMEM((block,), jnp.int32)])
 
     kern = functools.partial(
         _kernel,
@@ -617,13 +822,47 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         has_lens=cam.has_lens, has_time=cam.has_time and scene.has_motion,
         max_depth=max_depth, t_min=t_min, width=width, height=height,
         max_iters=record_iters,
+        accel=accel,
+        leaf_size=scene.bvh_leaf_size if accel else 0,
+        n_nodes=scene.n_sph_bvh_nodes if accel else 0,
     )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(uic, rows, camc, pixel_ids, fi, fj, sample_ids0)
+    if accel:
+        scalars = (
+            uic, camc,
+            nodes[:, 0], nodes[:, 1], nodes[:, 2],
+            nodes[:, 3], nodes[:, 4], nodes[:, 5],
+            nodes[:, 6].astype(jnp.int32), nodes[:, 7].astype(jnp.int32),
+        )
+        scalars = match_vma(fi, *scalars)
+        full_rows = pl.BlockSpec(
+            rows.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(scalars),
+            grid=grid,
+            in_specs=[full_rows] + [ray_spec] * 4,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*scalars, rows, pixel_ids, fi, fj, sample_ids0)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[ray_spec] * 4,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(uic, rows, camc, pixel_ids, fi, fj, sample_ids0)
     tx, ty, tz, seg = out[:4]
 
     total = V3(tx[:B], ty[:B], tz[:B])

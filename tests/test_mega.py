@@ -21,7 +21,8 @@ W, H, SPP, DEPTH = 24, 18, 4, 5
 
 def _run_both(scene, cam_params, spp=SPP, seed=3):
     cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
-    assert mega_kernel.supports(scene, cam)
+    assert (mega_kernel.supports(scene, cam)
+            or mega_kernel.supports_accel(scene, cam))
     pix = jnp.arange(W * H, dtype=jnp.uint32)
     samp0 = jnp.zeros((W * H,), jnp.uint32)
     kw = dict(width=W, height=H, sample_stride=1, sample_end=spp,
@@ -68,6 +69,40 @@ def test_sphere_ground_metal_dielectric():
 def test_two_spheres():
     scene, cam = library.two_spheres()
     _check(scene, cam)
+
+
+def _bvh_sphere_scene():
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=9)
+    b.sphere((0, -1000, 0), 1000, b.lambertian(
+        texture=b.checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))))
+    rnd = np.random.default_rng(4)
+    for i in range(80):
+        c = (rnd.uniform(-6, 6), 0.3, rnd.uniform(-8, -1))
+        k = i % 4
+        if k == 0:
+            m = b.lambertian(color=tuple(rnd.uniform(0.2, 0.9, 3)))
+        elif k == 1:
+            m = b.metal(tuple(rnd.uniform(0.5, 1.0, 3)), rnd.uniform(0, 0.4))
+        elif k == 2:
+            m = b.dielectric(1.5)
+        else:
+            m = b.lambertian(color=(0.8, 0.4, 0.2))
+        b.sphere(c, 0.3, m)
+    b.moving_sphere((0, 0.5, -3), (0, 0.8, -3), 0, 1, 0.3,
+                    b.lambertian(color=(0.9, 0.2, 0.2)))
+    cam = dict(lookfrom=(0, 1.5, 3), lookat=(0, 0, -4), vfov=50.0,
+               time0=0.0, time1=1.0)
+    return b.build(sphere_bvh=True), cam
+
+
+def test_accel_sphere_tree():
+    # BVH (accel) megakernel mode: packet DFS + material fold in-kernel
+    # vs the XLA wavefront (packed-tree traversal on CPU).
+    scene, cam_params = _bvh_sphere_scene()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    assert mega_kernel.supports_accel(scene, cam)
+    assert not mega_kernel.supports(scene, cam)
+    _check(scene, cam_params, spp=2)
 
 
 def test_supports_gating():

@@ -80,3 +80,43 @@ def test_emit_and_scatter_components_agree():
             np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
             np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
     np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_s))
+
+
+def test_atlas_compact_exact(monkeypatch):
+    # The shade-time texel sub-compaction (a recorded perf negative, kept
+    # behind shade.ATLAS_COMPACT) must be value-exact vs the full-width
+    # gather — including the overflow fallback branch.
+    import numpy as np
+
+    from another_raytracer_tpu.models.scene import SceneBuilder
+    from another_raytracer_tpu.ops import camera as camera_lib, shade
+    from another_raytracer_tpu.ops import render as render_lib, vec3
+
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=2)
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(8, 16, 3)).astype(np.float64) / 255.0
+    b.sphere((0, 0, -1), 0.5, b.lambertian(texture=b.image_texture(img)))
+    b.sphere((0, -100.5, -1), 100, b.lambertian(color=(0.5, 0.5, 0.5)))
+    scene = b.build()
+    assert scene.atlas_exact_u8
+    cam = camera_lib.make_camera(aspect_ratio=4 / 3, lookfrom=(0, 0, 1),
+                                 lookat=(0, 0, -1), vfov=60.0)
+
+    def render():
+        render_lib.clear_trace_caches()
+        acc, _ = render_lib.render_radiance(
+            scene, cam, jnp.uint32(0), width=32, height=24, spp=4,
+            samples_per_pass=1, max_depth=4, t_min=1e-3)
+        return vec3.to_numpy(acc)
+
+    monkeypatch.setattr(shade, "ATLAS_COMPACT", False)
+    ref = render()
+    monkeypatch.setattr(shade, "ATLAS_COMPACT", True)
+    monkeypatch.setattr(shade, "ATLAS_COMPACT_MIN_B", 64)
+    # generous cap: compact branch taken
+    monkeypatch.setattr(shade, "ATLAS_COMPACT_DIV", 2)
+    np.testing.assert_array_equal(render(), ref)
+    # tiny cap: overflow fallback branch taken
+    monkeypatch.setattr(shade, "ATLAS_COMPACT_DIV", 512)
+    np.testing.assert_array_equal(render(), ref)
+    render_lib.clear_trace_caches()
