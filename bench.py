@@ -57,11 +57,16 @@ def main():
         )
     )
 
-    # Warm up / compile.
-    loss, grads = step(params, scene, cam, target)
-    jax.block_until_ready(grads)
+    # Warm up / compile (twice: the first post-compile dispatch on the
+    # remote tunnel carries extra setup).
+    for _ in range(2):
+        loss, grads = step(params, scene, cam, target)
+        jax.block_until_ready(grads)
 
-    iters = 3
+    # Cross-run wall variance on the tunnel is large (CLAUDE.md rules
+    # 10/13); 10 iterations tighten the mean without changing the
+    # historical wall-clock protocol.
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, scene, cam, target)
