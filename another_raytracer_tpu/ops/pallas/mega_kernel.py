@@ -62,7 +62,11 @@ from another_raytracer_tpu.ops import rng
 from another_raytracer_tpu.ops.vec3 import V3
 
 BIG = 3e37
-DEFAULT_BLOCK = 1024
+# In-process block sweep (2026-08-21, pipelined 8-call walls): cornell fwd
+# 7.9/6.9/6.8/7.0 ms and sphere_ground 6.3/5.5/5.3/5.4 ms at block
+# 1024/2048/4096/8192 — 4096 amortizes scalar row reads + per-iteration
+# loop overhead without losing max-over-block tightness.
+DEFAULT_BLOCK = 4096
 NEAR_ZERO_EPS = 1e-8  # vec3.h:51
 
 # Columns per primitive row (flattened [N * ROW_W] f32, scalar-prefetched).
@@ -773,6 +777,13 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
     uic = jnp.stack([jnp.uint32(seed), limit,
                      jnp.uint32(sample_stride)]).astype(jnp.uint32)
 
+    if record_iters:
+        # Residual rows live in VMEM per block (4 outputs x record_iters x
+        # block x 4B); block 4096 at 128 iters = 8 MB and blows the 16 MB
+        # scoped-vmem stack.  Cap so the residual footprint stays ~2 MB.
+        budget = 2 * 1024 * 1024  # bytes of residual VMEM per block
+        cap = max(1024, budget // (record_iters * 16) // 1024 * 1024)
+        block = min(block, cap)
     pad = (-B) % block
     pixel_ids = jnp.asarray(pixel_ids, jnp.uint32)
     sample_ids0 = jnp.asarray(sample_ids0, jnp.uint32)
