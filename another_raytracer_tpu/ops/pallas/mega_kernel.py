@@ -781,7 +781,7 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         # Residual rows live in VMEM per block (4 outputs x record_iters x
         # block x 4B); block 4096 at 128 iters = 8 MB and blows the 16 MB
         # scoped-vmem stack.  Cap so the residual footprint stays ~2 MB.
-        budget = 2 * 1024 * 1024  # bytes of residual VMEM per block
+        budget = 4 * 1024 * 1024  # bytes of residual VMEM per block
         cap = max(1024, budget // (record_iters * 16) // 1024 * 1024)
         block = min(block, cap)
     pad = (-B) % block
