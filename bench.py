@@ -64,9 +64,9 @@ def main():
         jax.block_until_ready(grads)
 
     # Cross-run wall variance on the tunnel is large (CLAUDE.md rules
-    # 10/13); 10 iterations tighten the mean without changing the
+    # 10/13); 20 iterations tighten the mean without changing the
     # historical wall-clock protocol.
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, scene, cam, target)
