@@ -4,8 +4,8 @@ The headline fwd+bwd step spent three rounds flat at ~183 Mrays/s because
 its forward pass re-runs the full XLA wavefront (closest-hit sweep 43%,
 shading 30%) to build autodiff residuals.  For the scene class where the
 radiance is an explicit multiplicative chain — lambertian + diffuse-light
-materials with solid textures, sweep-regime geometry (exactly the Cornell
-box bench) — none of that is necessary:
+materials with solid/checker textures, sweep-regime geometry (exactly the
+Cornell box bench) — none of that is necessary:
 
   L_lane = sum_chains sum_k (prod_{j<k} ca[t_j]) * x_k,
   x_k = ca[t_k] (light hit) or background (miss),
@@ -14,9 +14,9 @@ so the complete gradient w.r.t. the shading parameters is a function of
 (a) the per-iteration winner TEXTURE ids and event flags and (b) the
 current parameter values.  The forward pass therefore runs the
 whole-wavefront megakernel (ops/pallas/mega_kernel.py) with residual
-recording (one int32 code row per while iteration: tex_id*8 +
-chain_end*4 + event), and the backward is a cheap pure-XLA replay over
-those codes:
+recording (one int32 code row per while iteration: tex_id*16 +
+checker_odd*8 + chain_end*4 + event), and the backward is a cheap
+pure-XLA replay over those codes:
 
   * forward replay: prefix throughputs T (reset at chain ends), storing
     T_prev per iteration;
@@ -26,11 +26,12 @@ those codes:
 
 No sweep, no hit-record recompute, no shading math in the backward.
 
-Gradient scope (by construction of the gate): d/d tex_ca and
-d/d background are EXACT (they are the only parameters the radiance
+Gradient scope (by construction of the gate): d/d tex_ca, d/d tex_cb
+and d/d background are EXACT (they are the only parameters the radiance
 depends on for this scene class — scatter directions are parameter-free
-for lambertian, dielectric/metal/fuzz/ir/atlas are absent, tex_cb/cc
-unused by solid textures).  Geometry cotangents (sphere centers, rect
+for lambertian, dielectric/metal/fuzz/ir/atlas are absent, and the
+checker-branch decision is a recorded discrete bit, not a parameter
+function).  Geometry cotangents (sphere centers, rect
 params) are returned as ZERO: this path serves the shading-parameter
 training step (grad/diff.py DEFAULT_TRAINABLE); geometry-trainable runs
 must disable it (FUSED_DIFF = False) — CPU runs (all tests/demos of
@@ -70,7 +71,8 @@ def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
         mega_kernel.supports(scene, cam)
         and set(scene.mat_kinds) <= {scene_lib.MAT_LAMBERTIAN,
                                      scene_lib.MAT_DIFFUSE_LIGHT}
-        and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID}
+        and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID,
+                                     scene_lib.TEX_CHECKER}
         and scene.tex_kind.shape[0] <= MAX_TEXTURES
         and per_lane_samples * max_depth <= MAX_RECORD_ITERS
     )
@@ -108,33 +110,42 @@ def _traced_fwd(cfg, scene, cam, pixel_ids, sample_ids0, seed):
         sample_end=spp_cap, spp_cap=spp_cap, max_depth=max_depth,
         t_min=t_min, interpret=interpret, record_iters=record_iters,
     )
-    res = (codes, tprev, scene.tex_ca, scene.background, scene, cam,
-           pixel_ids, sample_ids0)
+    res = (codes, tprev, scene.tex_ca, scene.tex_cb, scene.background,
+           scene, cam, pixel_ids, sample_ids0)
     return (total, segments), res
 
 
 def _traced_bwd(cfg, res, cot):
-    codes, tprev_v3, ca, bg, scene, cam, pixel_ids, sample_ids0 = res
+    codes, tprev_v3, ca, cb, bg, scene, cam, pixel_ids, sample_ids0 = res
     cot_total, _cot_segments = cot
     ghat = (cot_total.x, cot_total.y, cot_total.z)  # [B] per channel
     tprev = (tprev_v3.x, tprev_v3.y, tprev_v3.z)  # [iters, B] each
     T = ca.shape[0]
     cav = [tuple(ca[t, c] for c in range(3)) for t in range(T)]
+    cbv = [tuple(cb[t, c] for c in range(3)) for t in range(T)]
     bgv = tuple(bg[c] for c in range(3))
+    # STATIC gate: scenes without checker textures skip the odd-bit
+    # machinery entirely (it cost ~20% of the Cornell headline when
+    # traced unconditionally).
+    has_checker = scene_lib.TEX_CHECKER in scene.tex_kinds
 
     def decode(row):
         ev = row & 3
         end = (row & 4) != 0
-        tid = row >> 3
-        return ev, end, tid
+        # checker odd cell won (routes cot to tex_cb)
+        odd = ((row & 8) != 0) if has_checker else False
+        tid = row >> 4
+        return ev, end, odd, tid
 
-    def albedo(tid):
+    def albedo(tid, odd):
         # T is tiny and static: masked select-sum, no gathers.
         out = [jnp.zeros_like(ghat[0]) for _ in range(3)]
         for t in range(T):
             m = tid == t
             for c in range(3):
-                out[c] = jnp.where(m, cav[t][c], out[c])
+                val = (jnp.where(odd, cbv[t][c], cav[t][c])
+                       if has_checker else cav[t][c])
+                out[c] = jnp.where(m, val, out[c])
         return out
 
     # ---- reverse replay: suffix values + gradient accumulation ------------
@@ -144,11 +155,11 @@ def _traced_bwd(cfg, res, cot):
     acc0 = tuple(tuple(zeros for _ in range(3)) for _ in range(T))
 
     def bwd_body(carry, x):
-        r, acc, gbg = carry
+        r, acc, accb, gbg = carry
         row, tpx, tpy, tpz = x
         tp_prev = (tpx, tpy, tpz)
-        ev, end, tid = decode(row)
-        a = albedo(tid)
+        ev, end, odd, tid = decode(row)
+        a = albedo(tid, odd)
         scat = ev == 1
         light = ev == 2
         miss = ev == 3
@@ -158,32 +169,50 @@ def _traced_bwd(cfg, res, cot):
         gbg = tuple(gbg[c] + jnp.where(miss, gterm[c], 0.0) for c in range(3))
         # scatter cotangent: cot(a_i) = ghat * T_prev * R_after
         gsc = tuple(gterm[c] * r_after[c] for c in range(3))
-        acc = tuple(
+        contrib = tuple(
             tuple(
-                acc[t][c]
-                + jnp.where((tid == t) & scat, gsc[c], 0.0)
+                jnp.where((tid == t) & scat, gsc[c], 0.0)
                 + jnp.where((tid == t) & light, gterm[c], 0.0)
                 for c in range(3))
             for t in range(T))
+        if has_checker:
+            acc = tuple(
+                tuple(acc[t][c] + jnp.where(odd, 0.0, contrib[t][c])
+                      for c in range(3))
+                for t in range(T))
+            accb = tuple(
+                tuple(accb[t][c] + jnp.where(odd, contrib[t][c], 0.0)
+                      for c in range(3))
+                for t in range(T))
+        else:
+            acc = tuple(
+                tuple(acc[t][c] + contrib[t][c] for c in range(3))
+                for t in range(T))
         # suffix update R <- x_i + a_i * R_after
         r = tuple(
             jnp.where(scat, a[c] * r_after[c],
                       jnp.where(light, a[c],
                                 jnp.where(miss, bgv[c], r[c])))
             for c in range(3))
-        return (r, acc, gbg), None
+        return (r, acc, accb, gbg), None
 
-    (r, acc, gbg), _ = jax.lax.scan(
-        bwd_body, ((zeros, zeros, zeros), acc0, (zeros, zeros, zeros)),
+    accb0 = acc0 if has_checker else ()
+    (r, acc, accb, gbg), _ = jax.lax.scan(
+        bwd_body, ((zeros, zeros, zeros), acc0, accb0,
+                   (zeros, zeros, zeros)),
         (codes, tprev[0], tprev[1], tprev[2]), reverse=True, unroll=8)
 
     grad_ca = jnp.stack(
         [jnp.stack([jnp.sum(acc[t][c]) for c in range(3)]) for t in range(T)])
+    grad_cb = (jnp.stack(
+        [jnp.stack([jnp.sum(accb[t][c]) for c in range(3)])
+         for t in range(T)]) if has_checker else jnp.zeros_like(cb))
     grad_bg = jnp.stack([jnp.sum(gbg[c]) for c in range(3)])
 
     scene_bar = jax.tree.map(_zero_cot, scene)
     scene_bar = scene_bar.replace(
-        tex_ca=grad_ca.astype(ca.dtype), background=grad_bg.astype(bg.dtype))
+        tex_ca=grad_ca.astype(ca.dtype), tex_cb=grad_cb.astype(ca.dtype),
+        background=grad_bg.astype(bg.dtype))
     cam_bar = jax.tree.map(_zero_cot, cam)
     return (scene_bar, cam_bar, _zero_cot(pixel_ids), _zero_cot(sample_ids0),
             np.zeros((), jax.dtypes.float0))

@@ -679,12 +679,17 @@ def _kernel(*args,
 
         ended = alive & ~alive_next
         if max_iters:
-            # Residual code row for the fused differentiable path.
+            # Residual code row for the fused differentiable path:
+            # tid*16 + checker_odd*8 + chain_end*4 + event.
             ev = scattered.astype(jnp.int32) + jnp.where(miss_now, 3, 0)
             if has_light:
                 ev = ev + jnp.where(hit & is_light, 2, 0)
-            tid8 = jnp.where(ev > 0, b_tid.astype(jnp.int32) * 8, 0)
-            code = tid8 + jnp.where(ended, 4, 0) + ev
+            tid16 = jnp.where(ev > 0, b_tid.astype(jnp.int32) * 16, 0)
+            code = tid16 + jnp.where(ended, 4, 0) + ev
+            if has_checker:
+                # which checker branch won: the replay routes the albedo
+                # cotangent to tex_cb for odd cells
+                code = code + jnp.where(is_check, 8, 0)
 
             blk = out_code.shape[0] // max_iters
 

@@ -94,3 +94,41 @@ def test_radiance_matches_forward(cornell):
     np.testing.assert_allclose(vec3.to_numpy(acc_f), vec3.to_numpy(acc_r),
                                atol=2e-5, rtol=2e-5)
     assert abs(int(segs_f) - int(segs_r)) <= max(4, 0.01 * int(segs_r))
+
+
+def test_checker_grads_match_autodiff():
+    # Checker textures route albedo cotangents to tex_ca/tex_cb by the
+    # recorded odd-cell bit; hold the replay to autodiff on a two-spheres
+    # style checker scene (lambertian only, sky background).
+    scene, cam_params = library.two_spheres()
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+    assert mega_diff.supports_diff(scene, cam, SPP, 1, DEPTH)
+    w = jnp.asarray(
+        np.random.default_rng(1).uniform(0.2, 1.0, (W * H, 3)), jnp.float32)
+
+    def grads(fused):
+        mega_diff.FUSED_DIFF = fused
+        render_lib.clear_trace_caches()
+        try:
+            def loss(ca, cbp, bgp):
+                s = scene.replace(tex_ca=ca, tex_cb=cbp, background=bgp)
+                acc, _ = render_lib.render_radiance(
+                    s, cam, jnp.uint32(5), width=W, height=H, spp=SPP,
+                    samples_per_pass=1, max_depth=DEPTH, t_min=1e-3,
+                    differentiable=True)
+                return (jnp.sum(acc.x * w[:, 0]) + jnp.sum(acc.y * w[:, 1])
+                        + jnp.sum(acc.z * w[:, 2]))
+
+            return tuple(np.asarray(g) for g in jax.grad(
+                loss, argnums=(0, 1, 2))(scene.tex_ca, scene.tex_cb,
+                                         scene.background))
+        finally:
+            mega_diff.FUSED_DIFF = None
+            render_lib.clear_trace_caches()
+
+    ref = grads(False)
+    fus = grads(True)
+    for g_ref, g_fus in zip(ref, fus):
+        scale = max(np.abs(g_ref).max(), 1e-9)
+        np.testing.assert_allclose(g_fus, g_ref, atol=3e-4 * scale, rtol=3e-4)
+    assert np.abs(ref[1]).max() > 0  # tex_cb gradient is non-trivial
