@@ -87,6 +87,9 @@ CONFIGS = {
     # AND the 10,200 triangle vertices (BASELINE.json north star:
     # "geometry gradients ... backward wavefront").
     "mesh_grad": (library.mesh_scene, 240, 180, 4, 6, "grad"),
+    # Second fused-diff-path config (sweep scene, custom-VJP megakernel
+    # primal + replay backward) beyond the Cornell headline.
+    "sphere_ground_grad": (sphere_ground_scene, 400, 225, 16, 8, "grad"),
     # The reference's own default workload: 720x540, 100 spp, max_depth 50,
     # adaptive mode, capsule mesh (tracer_constants.h:6-13, main.cpp:20,44).
     "reference_default": (library.mesh_scene, 720, 540, 100, 50, "adaptive"),
