@@ -137,9 +137,24 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
     # lanes are dead most bounces).  Results for dead lanes are discarded by
     # the alive masks below either way.
     o_live, d_live = _park_dead(scene, alive, o, d)
-    t, kind, idx = intersect.closest_hit(
-        sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min
-    )
+    # Forward path + Pallas planar tree: fold the winning triangle's
+    # (unit normal, barycentrics) inside the kernel so the shading stage
+    # skips the vertex half of the winner-record gather (intersect.py
+    # FOLD_TRI_RECORD; never on the differentiable path — it needs the
+    # vertex recompute for geometry gradients).
+    want_aux = (fast_texel and scene.use_pallas_bvh and scene.tri_in_bvh
+                and intersect.FOLD_TRI_RECORD
+                and pixel_ids.shape[0] >= intersect.FOLD_RECORD_MIN_B)
+    if want_aux:
+        (t, kind, idx), aux = intersect.closest_hit(
+            sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min,
+            want_aux=True,
+        )
+    else:
+        t, kind, idx = intersect.closest_hit(
+            sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min
+        )
+        aux = None
     hit = (kind >= 0) & alive
 
     # Miss -> background * throughput, then die (engine.h:455-457).
@@ -150,7 +165,7 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
 
     def shade_hit(scene, o, d, time, t, kind, idx, u_media):
         rec = intersect.make_hit_record(scene, o, d, time, t, kind, idx, u_media,
-                                        t_min=t_min)
+                                        t_min=t_min, aux=aux)
         # Emission accumulates for every live hit (engine.h:460-465); fused
         # with scatter so the material table and texture are read once.
         if FUSE_SHADE:

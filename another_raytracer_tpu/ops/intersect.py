@@ -348,22 +348,51 @@ def _scan_kind(best, n_total, chunk_fn, kind):
     return best
 
 
-def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim):
+# Fold the winning triangle's unit normal + barycentrics inside the packet
+# kernel (planar tree, forward path only): the shading stage then skips the
+# vertex half of the [N,16] winner-record gather + its padded column unpack
+# (round-4 mesh profile: 179 ms of the 527 ms bench).  Trace-time knob
+# (scripts/ab_fold_record.py).  Measured: mesh single 531 -> 480 ms at
+# B=389k, but adaptive runs REGRESSED ~35% (mesh_hd 3.01 -> 4.13 s) — the
+# per-leaf fold cost is paid at every width while the gather/unpack
+# savings shrink with B, so the integrator only requests aux at batch
+# widths >= FOLD_RECORD_MIN_B (static per trace: regen compaction's
+# narrow tail stages and adaptive's buckets auto-disable).
+FOLD_TRI_RECORD = True
+FOLD_RECORD_MIN_B = 131072
+
+
+def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
+              want_aux=False):
     """Fold one packed BVH's winner into the running best.  The traversal
     returns rows' slot-9 codes (id*4 + kind) for improved lanes and copies
-    the init value through otherwise, so the decode is gated on improved."""
+    the init value through otherwise, so the decode is gated on improved.
+
+    ``want_aux`` (planar + Pallas only): also return the kernel-folded
+    (unit normal V3, u, v) of the winning triangle — valid wherever the
+    FINAL winner kind is PRIM_TRIANGLE (triangles exist only in the planar
+    tree, and later folds only override on strict improvement)."""
     bt, bk, bi = best
+    aux = None
     if scene.use_pallas_bvh:
         from another_raytracer_tpu.ops.pallas import bvh_kernel
 
         # The kernel bakes t_min in as a compile-time constant; a traced
         # t_min would silently diverge from the sweeps, so refuse it here
         # (float() raises TracerConversionError on tracers).
-        t, code, improved = bvh_kernel.bvh_closest_hit(
-            nodes, rows, o, d, bt, bi, t_min=float(t_min),
-            leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
-            prim=prim, time=time,
-        )
+        if want_aux and prim == "planar":
+            t, code, improved, n_aux, u_aux, v_aux = bvh_kernel.bvh_closest_hit(
+                nodes, rows, o, d, bt, bi, t_min=float(t_min),
+                leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
+                prim=prim, time=time, fold_record=True,
+            )
+            aux = (n_aux, u_aux, v_aux)
+        else:
+            t, code, improved = bvh_kernel.bvh_closest_hit(
+                nodes, rows, o, d, bt, bi, t_min=float(t_min),
+                leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
+                prim=prim, time=time,
+            )
     else:
         from another_raytracer_tpu.ops import bvh as bvh_ops
 
@@ -373,10 +402,12 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim):
         )
     kind = jnp.where(improved, jax.lax.rem(code, 4), bk)
     idx = jnp.where(improved, jax.lax.div(code, 4), bi)
+    if want_aux:
+        return (t, kind, idx), aux
     return (t, kind, idx)
 
 
-def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
+def closest_hit(scene, o: V3, d: V3, time, u_media, t_min, want_aux=False):
     """Closest intersection over all primitive kinds.
 
     Returns (t [B], kind [B] int32 with -1 = miss, idx [B] within-kind).
@@ -396,9 +427,18 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
         z.astype(jnp.int32) - 1,
         z.astype(jnp.int32),
     )
+    aux = None
+    give_aux = (want_aux and FOLD_TRI_RECORD and scene.use_pallas_bvh
+                and scene.n_bvh_nodes > 0)
     if scene.n_bvh_nodes:  # planar tree: triangles and/or transformed-rect quads
-        best = _fold_bvh(scene, best, scene.bvh_packed_nodes,
-                         scene.bvh_packed_tris, o, d, time, t_min, "planar")
+        if give_aux:
+            best, aux = _fold_bvh(scene, best, scene.bvh_packed_nodes,
+                                  scene.bvh_packed_tris, o, d, time, t_min,
+                                  "planar", want_aux=True)
+        else:
+            best = _fold_bvh(scene, best, scene.bvh_packed_nodes,
+                             scene.bvh_packed_tris, o, d, time, t_min,
+                             "planar")
     if scene.n_rect_bvh_nodes:  # native axis-rect tree (identity transforms)
         best = _fold_bvh(scene, best, scene.rect_bvh_nodes,
                          scene.rect_bvh_rows, o, d, time, t_min, "rect")
@@ -426,6 +466,8 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min):
     if scene.n_media:
         t, valid = _medium_t(scene, o, d, u_media, t_min, best[0][:, None])
         best = _fold_kind(best, t, valid, scene_lib.PRIM_MEDIUM, jnp.int32(0))
+    if want_aux:
+        return best, aux
     return best
 
 
@@ -644,6 +686,28 @@ def _triangle_record(scene, o, d, t, idx):
     return t, p_world, n_world, mat, u, v, tu, tv
 
 
+def _triangle_record_aux(scene, o, d, t, idx, aux):
+    """Forward-path triangle record from KERNEL-FOLDED (n, u, v): only the
+    texcoord/material half of the winner row is gathered ([N,8] instead of
+    [N,16]), and t is used as-is (the kernel's winner t — the
+    differentiable path never takes this route)."""
+    n_aux, u, v = aux
+    ii = jnp.clip(idx, 0, scene.n_triangles - 1)
+    fdt = scene.tri_v0.dtype
+    packed = jnp.concatenate(
+        [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+         scene.tri_mat.astype(fdt)[:, None],
+         jnp.zeros((scene.n_triangles, 1), fdt)], axis=1)  # [N, 8]
+    c = _unpack_rows(packed[ii])
+    (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v) = c[0:6]
+    mat = c[6].astype(jnp.int32)
+    w = 1.0 - u - v
+    tu = u * uv0u + v * uv1u + w * uv2u
+    tv = u * uv0v + v * uv1v + w * uv2v
+    p_world = o + d * t
+    return t, p_world, n_aux, mat, u, v, tu, tv
+
+
 def _medium_record(scene, o, d, t, idx, u_media, t_min):
     ii = jnp.clip(idx, 0, scene.n_media - 1)
     look = Lookup(ii, scene.n_media)
@@ -678,13 +742,15 @@ def _medium_record(scene, o, d, t, idx, u_media, t_min):
 
 
 def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None,
-                    t_min=1e-3) -> HitRecord:
+                    t_min=1e-3, aux=None) -> HitRecord:
     """Reconstruct the full hit record for each ray's winning primitive.
 
     ``t`` is used only as a detached selection hint; each kind recomputes its
     own t differentiably, so callers may pass ``stop_gradient(t)``.
     ``t_min`` must match the value used for winner selection — the medium
     recompute clamps the boundary entry to it (constant_medium.h:57).
+    ``aux``: kernel-folded triangle (n, u, v) from closest_hit(want_aux=True)
+    — forward path only (skips the differentiable vertex recompute).
     """
     B = t.shape[0]
     z = jnp.zeros((B,), o.x.dtype)
@@ -709,7 +775,11 @@ def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None,
     if scene.n_rects:
         merge(kind == scene_lib.PRIM_RECT, _rect_record(scene, o, d, t, idx))
     if scene.n_triangles:
-        merge(kind == scene_lib.PRIM_TRIANGLE, _triangle_record(scene, o, d, t, idx))
+        if aux is not None:
+            tri = _triangle_record_aux(scene, o, d, t, idx, aux)
+        else:
+            tri = _triangle_record(scene, o, d, t, idx)
+        merge(kind == scene_lib.PRIM_TRIANGLE, tri)
     if scene.n_media:
         if u_media is None:
             u_media = jnp.zeros((B, scene.n_media), o.x.dtype)

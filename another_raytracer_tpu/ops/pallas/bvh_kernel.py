@@ -179,8 +179,16 @@ def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r) -> tuple:
 
 def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             esc_ref, meta_ref, rows_ref, ox, oy, oz, dx, dy, dz, tm,
-            t0_ref, i0_ref, out_t, out_i, out_hit, *, n_nodes, t_min,
-            leaf_size, prim):
+            t0_ref, i0_ref, out_t, out_i, out_hit, *aux_refs, n_nodes, t_min,
+            leaf_size, prim, fold_record=False):
+    if fold_record:
+        # Winner-record folding ('planar' only): the leaf test already has
+        # the triangle's scalar normal and the edge-function values, so the
+        # kernel returns the winner's UNIT normal and area-ratio
+        # barycentrics — the forward shading path then skips the vertex
+        # half of the [N,16] winner-record gather + padded column unpack
+        # (round-4 mesh profile: 179 ms of the 527 ms bench).
+        out_nx, out_ny, out_nz, out_u, out_v = aux_refs
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -253,13 +261,25 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         t = jnp.where(ok, (ndotv0 - ndoto) / jnp.where(ok, ndotd, 1.0), BIG)
         p = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
 
-        def edge(m, c):
-            return p[0] * m[0] + p[1] * m[1] + p[2] * m[2] >= c
+        def edge_val(m, c):
+            return p[0] * m[0] + p[1] * m[1] + p[2] * m[2] - c
 
+        w0 = edge_val(m0, c0)
+        w1 = edge_val(m1, c1)
+        w2 = edge_val(m2, c2)
         valid = (
-            ok & edge(m0, c0) & edge(m1, c1) & edge(m2, c2)
+            ok & (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
             & (t > t_min) & (t < best_t)
         )
+        if fold_record and prim == "planar":
+            # u weights vertex 1 (edge m1), v weights vertex 2 (edge m2):
+            # the XLA record's dot(n, cross(e, p - a)) / |n|^2 by the same
+            # triple-product identity the edge test uses (triangle.h:62-84).
+            inv_n2 = 1.0 / jnp.maximum(sdot(n, n), 1e-37)
+            inv_len = jax.lax.rsqrt(jnp.maximum(sdot(n, n), 1e-37))
+            aux = ((n[0] * inv_len, n[1] * inv_len, n[2] * inv_len),
+                   w1 * inv_n2, w2 * inv_n2)
+            return t, valid, oid, aux
         return t, valid, oid
 
     def sphere_test(base, k, best_t):
@@ -335,6 +355,13 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     out_t[:] = t0_ref[:]
     out_i[:] = i0_ref[:]
     out_hit[:] = jnp.zeros_like(i0_ref[:])
+    if fold_record:
+        z = jnp.zeros_like(t0_ref[:])
+        out_nx[:] = z
+        out_ny[:] = z
+        out_nz[:] = z
+        out_u[:] = z
+        out_v[:] = z
 
     def body(j):
         best_t = out_t[:]
@@ -350,15 +377,32 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             bt = out_t[:]
             bi = out_i[:]
             hh = out_hit[:]
+            if fold_record:
+                bn = (out_nx[:], out_ny[:], out_nz[:])
+                bu = out_u[:]
+                bv = out_v[:]
             for k in range(leaf_size):
-                t, valid, oid = prim_test(first, k, bt)
+                if fold_record:
+                    t, valid, oid, aux = prim_test(first, k, bt)
+                else:
+                    t, valid, oid = prim_test(first, k, bt)
                 valid = valid & (k < count) & hit_box
                 bt = jnp.where(valid, t, bt)
                 bi = jnp.where(valid, oid.astype(jnp.int32), bi)
                 hh = jnp.where(valid, 1, hh)
+                if fold_record:
+                    nsc, uu, vv = aux
+                    bn = tuple(jnp.where(valid, nsc[c], bn[c])
+                               for c in range(3))
+                    bu = jnp.where(valid, uu, bu)
+                    bv = jnp.where(valid, vv, bv)
             out_t[:] = bt
             out_i[:] = bi
             out_hit[:] = hh
+            if fold_record:
+                out_nx[:], out_ny[:], out_nz[:] = bn
+                out_u[:] = bu
+                out_v[:] = bv
 
         return jnp.where(any_hit, j + 1, esc)
 
@@ -367,11 +411,12 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block", "t_min", "interpret", "leaf_size", "prim"),
+    static_argnames=("block", "t_min", "interpret", "leaf_size", "prim",
+                     "fold_record"),
 )
 def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
                     block=DEFAULT_BLOCK, t_min=1e-3, interpret=None,
-                    prim="planar", time=None):
+                    prim="planar", time=None, fold_record=False):
     """Packet-traversal closest hit.
 
     Args:
@@ -387,8 +432,12 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
       prim: 'planar' (triangles/quads) or 'sphere'.
       time: [B] ray times (sphere lerp); zeros when None.
     Returns (t [B], code [B] int32 — row slot 9 where improved, else the
-    init value — , improved [B] bool).
+    init value — , improved [B] bool); with ``fold_record`` (planar only),
+    additionally (n V3 unit normal, u [B], v [B]) of the winning triangle
+    for improved lanes (garbage elsewhere — consumers must mask on the
+    final winner kind).
     """
+    assert not (fold_record and prim != "planar")
     if interpret is None:
         # Auto: Mosaic needs a real TPU; CPU runs (e.g. the multichip CPU
         # dryrun exercising shard_map x packet-kernel composition with a
@@ -421,23 +470,36 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     promoted = match_vma(rays[0], *scalars, rows)
     scalars, rows = promoted[:-1], promoted[-1]
 
+    n_out = 8 if fold_record else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=grid,
         in_specs=[full(rows)] + [ray_spec] * 9,
-        out_specs=[ray_spec] * 3,
+        out_specs=[ray_spec] * n_out,
     )
 
-    out_t, out_i, out_hit = pl.pallas_call(
+    f32l = lambda: lane_struct((B + pad,), jnp.float32, rays[0])  # noqa: E731
+    out_shape = [
+        f32l(),
+        lane_struct((B + pad,), jnp.int32, rays[0]),
+        lane_struct((B + pad,), jnp.int32, rays[0]),
+    ]
+    if fold_record:
+        out_shape += [f32l()] * 5
+    out = pl.pallas_call(
         functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min,
-                          leaf_size=leaf_size, prim=prim),
+                          leaf_size=leaf_size, prim=prim,
+                          fold_record=fold_record),
         grid_spec=grid_spec,
-        out_shape=[
-            lane_struct((B + pad,), jnp.float32, rays[0]),
-            lane_struct((B + pad,), jnp.int32, rays[0]),
-            lane_struct((B + pad,), jnp.int32, rays[0]),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(*scalars, rows, *rays)
+    out_t, out_i, out_hit = out[:3]
 
+    if fold_record:
+        from another_raytracer_tpu.ops.vec3 import V3
+
+        nx, ny, nz, uu, vv = (a[:B] for a in out[3:])
+        return (out_t[:B], out_i[:B], out_hit[:B].astype(bool),
+                V3(nx, ny, nz), uu, vv)
     return out_t[:B], out_i[:B], out_hit[:B].astype(bool)

@@ -1,0 +1,69 @@
+"""Kernel-folded triangle winner records (intersect.FOLD_TRI_RECORD) vs
+the full [N,16] gather recompute, Pallas interpret mode.
+
+The folded path takes (unit normal, barycentric u/v) straight from the
+packet kernel's leaf tests and only gathers the texcoord/material half of
+the winner row; the algebra differs from the XLA recompute at ulp level
+(triple-product identity), so values agree to tolerance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from another_raytracer_tpu.models import library
+from another_raytracer_tpu.models.scene import SceneBuilder
+from another_raytracer_tpu.ops import camera as camera_lib, intersect, vec3
+from another_raytracer_tpu.ops import render as render_lib
+
+W, H = 28, 20
+
+
+def _tri_scene():
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=3)
+    import math
+
+    bary = b.lambertian(texture=b.barycentric_texture(
+        (1, 0, 0), (0, 1, 0), (0, 0, 1)))
+    gray = b.lambertian(color=(0.6, 0.6, 0.6))
+    n = 7
+    for i in range(n):
+        for j in range(n):
+            def pt(ii, jj):
+                x = -1.0 + 2.0 * ii / n
+                z = -2.0 - 2.0 * jj / n
+                return (x, 0.2 * math.sin(3.0 * x + 2.0 * z), z)
+
+            m = bary if (i + j) % 2 else gray
+            b.triangle(pt(i, j), pt(i + 1, j), pt(i + 1, j + 1), m)
+            b.triangle(pt(i, j), pt(i + 1, j + 1), pt(i, j + 1), m)
+    cam = dict(lookfrom=(0, 1.4, 1.0), lookat=(0, 0, -3), vfov=55.0)
+    return b.build(bvh=True, pallas_bvh=True), cam
+
+
+def test_fold_record_matches_recompute():
+    scene, cam_params = _tri_scene()
+    assert scene.use_pallas_bvh and scene.tri_in_bvh
+    cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
+
+    def render():
+        render_lib.clear_trace_caches()
+        acc, segs = render_lib.render_radiance(
+            scene, cam, jnp.uint32(7), width=W, height=H, spp=2,
+            samples_per_pass=1, max_depth=4, t_min=1e-3)
+        return vec3.to_numpy(acc), int(segs)
+
+    old = intersect.FOLD_TRI_RECORD
+    try:
+        intersect.FOLD_TRI_RECORD = False
+        ref, segs_ref = render()
+        intersect.FOLD_TRI_RECORD = True
+        got, segs_got = render()
+    finally:
+        intersect.FOLD_TRI_RECORD = old
+        render_lib.clear_trace_caches()
+
+    assert abs(segs_got - segs_ref) <= max(4, 0.01 * segs_ref)
+    diff = np.abs(got - ref)
+    frac_bad = (diff > 2e-2).mean()
+    assert frac_bad <= 0.02, (frac_bad, diff.max())
+    assert np.median(diff) < 1e-5
