@@ -55,7 +55,7 @@ def render_loss(params, scene, cam, target, seed, *, width, height, spp,
         width=width, height=height, sample_start=0, n_samples=spp,
         spp_cap=spp, samples_per_pass=samples_per_pass, max_depth=max_depth,
         t_min=t_min, differentiable=True, remat=remat, unroll=unroll,
-        chunk_unroll=chunk_unroll,
+        chunk_unroll=chunk_unroll, trainable=tuple(sorted(params)),
     )
     inv = 1.0 / spp
     return (

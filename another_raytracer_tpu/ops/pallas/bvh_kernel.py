@@ -106,21 +106,37 @@ def _leaf_rows(tree: FlatBVH, n_cols: int = 16) -> np.ndarray:
     return np.zeros((order.shape[0] + pad, n_cols), np.float32)
 
 
-def pack_planar(tree: FlatBVH, v0, v1, v2, codes) -> tuple:
-    """(nodes [M,8], rows [N+pad,16]) for the planar kernel.
+def pack_planar(tree: FlatBVH, v0, v1, v2, codes, uv0=None, uv1=None,
+                uv2=None, mats=None) -> tuple:
+    """(nodes [M,8], rows [N+pad,16 or 24]) for the planar kernel.
 
     ``codes``: [N] int array, ``id * 4 + kind`` per primitive in build order.
     Rows are reordered into leaf order (tree.prim_order); trailing pad rows
-    are all-zero (degenerate normal -> never hit)."""
+    are all-zero (degenerate normal -> never hit).
+
+    ``uv0/uv1/uv2`` ([N,2]) and ``mats`` ([N]), when given, widen the rows
+    to 24 columns — 10,11 uv0; 12,13 uv1; 14,15 uv2; 16 mat — enabling the
+    FULL winner-record fold (tu, tv, mat computed in-kernel, zero
+    shading-stage gathers).  Physically free: a [N,16] f32 VMEM tile
+    already pads its minor dim to 128 lanes.  Rows with unknown texcoords
+    (rect quads) pass zeros; their records are recomputed from rect
+    parameters anyway."""
     codes = np.asarray(codes, np.int64)
     assert codes.max(initial=0) < (1 << 24), "code must be exact in f32"
     order = tree.prim_order
     n = order.shape[0]
-    rows = _leaf_rows(tree)
+    full = uv0 is not None
+    rows = _leaf_rows(tree, 24 if full else 16)
     rows[:n, 0:3] = np.asarray(v0)[order]
     rows[:n, 3:6] = np.asarray(v1)[order]
     rows[:n, 6:9] = np.asarray(v2)[order]
     rows[:n, 9] = codes[order]
+    if full:
+        rows[:n, 10:12] = np.asarray(uv0)[order]
+        rows[:n, 12:14] = np.asarray(uv1)[order]
+        rows[:n, 14:16] = np.asarray(uv2)[order]
+        assert np.asarray(mats).max(initial=0) < (1 << 24)
+        rows[:n, 16] = np.asarray(mats, np.int64)[order]
     return pack_nodes(tree), rows
 
 
@@ -180,7 +196,7 @@ def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r) -> tuple:
 def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             esc_ref, meta_ref, rows_ref, ox, oy, oz, dx, dy, dz, tm,
             t0_ref, i0_ref, out_t, out_i, out_hit, *aux_refs, n_nodes, t_min,
-            leaf_size, prim, fold_record=False):
+            leaf_size, prim, fold_record=False, fold_full=False):
     if fold_record:
         # Winner-record folding ('planar' only): the leaf test already has
         # the triangle's scalar normal and the edge-function values, so the
@@ -188,7 +204,15 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         # barycentrics — the forward shading path then skips the vertex
         # half of the [N,16] winner-record gather + padded column unpack
         # (round-4 mesh profile: 179 ms of the 527 ms bench).
-        out_nx, out_ny, out_nz, out_u, out_v = aux_refs
+        # ``fold_full`` additionally folds the interpolated texcoords
+        # (tu, tv — the uv corners are SCALAR row reads, so the vector cost
+        # is 6 multiply-adds per leaf test) and the material id, removing
+        # the winner-record gather from the shading stage ENTIRELY.
+        if fold_full:
+            (out_nx, out_ny, out_nz, out_u, out_v,
+             out_tu, out_tv, out_m) = aux_refs
+        else:
+            out_nx, out_ny, out_nz, out_u, out_v = aux_refs
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -277,8 +301,24 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             # triple-product identity the edge test uses (triangle.h:62-84).
             inv_n2 = 1.0 / jnp.maximum(sdot(n, n), 1e-37)
             inv_len = jax.lax.rsqrt(jnp.maximum(sdot(n, n), 1e-37))
-            aux = ((n[0] * inv_len, n[1] * inv_len, n[2] * inv_len),
-                   w1 * inv_n2, w2 * inv_n2)
+            uu = w1 * inv_n2
+            vv = w2 * inv_n2
+            aux = ((n[0] * inv_len, n[1] * inv_len, n[2] * inv_len), uu, vv)
+            if fold_full:
+                # Interpolated texcoords, exactly _triangle_record's
+                # tu = u*uv0u + v*uv1u + (1-u-v)*uv2u: rewritten around the
+                # vertex-2 corner so the vector cost is 2 fused
+                # multiply-adds per channel (uv corners are scalar reads).
+                uv0u = rows_ref[row, 10]
+                uv0v = rows_ref[row, 11]
+                uv1u = rows_ref[row, 12]
+                uv1v = rows_ref[row, 13]
+                uv2u = rows_ref[row, 14]
+                uv2v = rows_ref[row, 15]
+                matv = rows_ref[row, 16]
+                tu = uv2u + uu * (uv0u - uv2u) + vv * (uv1u - uv2u)
+                tv = uv2v + uu * (uv0v - uv2v) + vv * (uv1v - uv2v)
+                aux = aux + (tu, tv, matv)
             return t, valid, oid, aux
         return t, valid, oid
 
@@ -362,6 +402,10 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         out_nz[:] = z
         out_u[:] = z
         out_v[:] = z
+        if fold_full:
+            out_tu[:] = z
+            out_tv[:] = z
+            out_m[:] = z
 
     def body(j):
         best_t = out_t[:]
@@ -381,6 +425,10 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                 bn = (out_nx[:], out_ny[:], out_nz[:])
                 bu = out_u[:]
                 bv = out_v[:]
+                if fold_full:
+                    btu = out_tu[:]
+                    btv = out_tv[:]
+                    bm = out_m[:]
             for k in range(leaf_size):
                 if fold_record:
                     t, valid, oid, aux = prim_test(first, k, bt)
@@ -391,11 +439,16 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                 bi = jnp.where(valid, oid.astype(jnp.int32), bi)
                 hh = jnp.where(valid, 1, hh)
                 if fold_record:
-                    nsc, uu, vv = aux
+                    nsc, uu, vv = aux[:3]
                     bn = tuple(jnp.where(valid, nsc[c], bn[c])
                                for c in range(3))
                     bu = jnp.where(valid, uu, bu)
                     bv = jnp.where(valid, vv, bv)
+                    if fold_full:
+                        tu, tv, matv = aux[3:]
+                        btu = jnp.where(valid, tu, btu)
+                        btv = jnp.where(valid, tv, btv)
+                        bm = jnp.where(valid, matv, bm)
             out_t[:] = bt
             out_i[:] = bi
             out_hit[:] = hh
@@ -403,6 +456,10 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                 out_nx[:], out_ny[:], out_nz[:] = bn
                 out_u[:] = bu
                 out_v[:] = bv
+                if fold_full:
+                    out_tu[:] = btu
+                    out_tv[:] = btv
+                    out_m[:] = bm
 
         return jnp.where(any_hit, j + 1, esc)
 
@@ -412,11 +469,12 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block", "t_min", "interpret", "leaf_size", "prim",
-                     "fold_record"),
+                     "fold_record", "fold_full"),
 )
 def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
                     block=DEFAULT_BLOCK, t_min=1e-3, interpret=None,
-                    prim="planar", time=None, fold_record=False):
+                    prim="planar", time=None, fold_record=False,
+                    fold_full=False):
     """Packet-traversal closest hit.
 
     Args:

@@ -60,8 +60,26 @@ from another_raytracer_tpu.ops.vec3 import V3
 FUSED_DIFF = None
 
 # Residual memory bound: codes [iters, B] int32 + T_prev 3x[iters, B] f32.
-MAX_RECORD_ITERS = 512
+# The kernel caps its ray block by a 4 MB residual budget but floors the
+# block at 1024 lanes (Mosaic tiling), so record_iters must satisfy
+# 4 MiB // (record_iters * 16 B) >= 1024, i.e. record_iters <= 256 —
+# beyond that the residual rows alone are >4 MB/block and have blown the
+# 16 MB scoped-vmem stack on-chip before (mega_kernel.py block cap).
+MAX_RECORD_ITERS = 256
 MAX_TEXTURES = 16
+
+# Scene leaves whose cotangents the fused path handles EXACTLY for the
+# supported scene class: tex_ca/tex_cb/background carry the full gradient
+# (the radiance is an explicit function of them); tex_cc, mat_fuzz,
+# mat_ir and atlas are genuinely unused by lambertian/diffuse-light +
+# solid/checker scenes, so their true gradient is zero.  Geometry leaves
+# (sphere centers, rect bounds, ...) are NOT here: the fused path returns
+# hard-zero cotangents for them by construction, so a caller training
+# geometry must not take this path (enabled() enforces that).
+SAFE_TRAINABLE = frozenset({
+    "tex_ca", "tex_cb", "tex_cc", "mat_fuzz", "mat_ir", "atlas",
+    "background",
+})
 
 
 def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
@@ -78,15 +96,43 @@ def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
     )
 
 
-def enabled(scene, cam, spp_cap, sample_stride, max_depth) -> bool:
+def enabled(scene, cam, spp_cap, sample_stride, max_depth,
+            trainable=None) -> bool:
+    """Should the fused path run for this render?
+
+    ``trainable`` is the caller's trainable-leaf names (grad/diff.py
+    threads them through render_loss -> radiance_batch).  The fused path
+    returns hard-zero geometry cotangents, so:
+
+      * auto mode (FUSED_DIFF=None) engages ONLY when the caller declared
+        a trainable set that is a subset of SAFE_TRAINABLE — an unknown
+        (None) trainable set never auto-engages, closing the
+        silently-zero-geometry-gradient path;
+      * forced mode (FUSED_DIFF=True) raises if a declared trainable set
+        contains a geometry leaf, instead of silently zeroing it.
+    """
     if FUSED_DIFF is False:
         return False
+    safe = set(SAFE_TRAINABLE)
+    # Geometry leaves of primitive kinds the supported scene class CANNOT
+    # contain (supports() excludes triangle/medium scenes) have a true
+    # gradient of zero, so training them through this path is exact.
+    safe |= {"tri_v0", "tri_v1", "tri_v2", "tri_uv0", "tri_uv1", "tri_uv2",
+             "med_a", "med_b", "med_neg_inv_density"}
+    geom = (None if trainable is None
+            else sorted(set(trainable) - safe))
     ok = supports_diff(scene, cam, spp_cap, sample_stride, max_depth)
     if FUSED_DIFF is True:
         if not ok:
             raise ValueError("FUSED_DIFF forced on but unsupported")
+        if geom:
+            raise ValueError(
+                "FUSED_DIFF forced on, but the trainable set includes "
+                f"geometry leaves {geom} whose cotangents the fused path "
+                "zeroes by construction; set mega_diff.FUSED_DIFF = False "
+                "for geometry training")
         return True
-    return ok and jax.default_backend() not in ("cpu",)
+    return (ok and geom == [] and jax.default_backend() not in ("cpu",))
 
 
 def _zero_cot(x):

@@ -239,8 +239,8 @@ def _kernel(*args,
          out_tx, out_ty, out_tz, out_seg, *refs) = args
     # Optional residual-recording outputs (the differentiable fused path,
     # ops/pallas/mega_diff.py): per while iteration, one int32 code row —
-    # code = tex_id * 8 + chain_end * 4 + event with event 0=dead,
-    # 1=scatter, 2=light-hit, 3=miss — and the three channels of the
+    # code = tex_id*16 + checker_odd*8 + chain_end*4 + event with event
+    # 0=dead, 1=scatter, 2=light-hit, 3=miss — and the three channels of the
     # iteration-ENTRY throughput (T_prev: the replay backward needs it and
     # the kernel already holds it in VMEM, so writing it here saves the
     # bwd an entire forward-replay scan + its [iters,B] stacking DUSes).

@@ -29,7 +29,7 @@ from another_raytracer_tpu.ops import integrator
 def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
                    sample_start, n_samples, spp_cap, samples_per_pass,
                    max_depth, t_min, differentiable=False, remat=False,
-                   unroll=None, chunk_unroll=1):
+                   unroll=None, chunk_unroll=1, trainable=None):
     """Radiance sums for an arbitrary pixel batch over samples
     [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
 
@@ -37,6 +37,13 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     pixels; stripes shard the pixel axis; parallel_images shards the sample
     range (then psums).  Because the RNG is keyed on absolute (pixel, sample)
     ids, any partition produces identical contributions.
+
+    ``trainable`` (differentiable renders only): the caller's trainable
+    scene-leaf names, e.g. ``tuple(params)`` from grad/diff.py.  The fused
+    TPU differentiable path (ops/pallas/mega_diff.py) auto-engages only
+    when this set is declared and free of geometry leaves — it returns
+    hard-zero geometry cotangents by construction, so an undeclared (None)
+    set conservatively keeps the exact XLA autodiff path.
 
     Returns (radiance_sum V3 of [Np], segments [] int32).
     """
@@ -82,7 +89,8 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
             and n_samples == spp_cap):
         from another_raytracer_tpu.ops.pallas import mega_diff
 
-        if mega_diff.enabled(scene, cam, spp_cap, spass, max_depth):
+        if mega_diff.enabled(scene, cam, spp_cap, spass, max_depth,
+                             trainable=trainable):
             # Fused differentiable path (lambertian/light + solid sweep
             # scenes): megakernel primal with residual codes + pure-replay
             # backward — no sweep or shading recompute in the bwd.  Exact
@@ -178,10 +186,10 @@ def morton_order(width: int, height: int):
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "samples_per_pass", "max_depth",
-                     "t_min", "differentiable"),
+                     "t_min", "differentiable", "trainable"),
 )
 def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
-                    max_depth, t_min, differentiable=False):
+                    max_depth, t_min, differentiable=False, trainable=None):
     """Per-pixel radiance sums over ``spp`` samples.
 
     Returns (radiance_sum V3 of [H*W] in flat pixel order, segments int32).
@@ -204,7 +212,7 @@ def render_radiance(scene, cam, seed, *, width, height, spp, samples_per_pass,
         scene, cam, pixel_ids, seed, width=width, height=height,
         sample_start=0, n_samples=spp, spp_cap=spp,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
-        differentiable=differentiable,
+        differentiable=differentiable, trainable=trainable,
     )
     if scene.has_accel:
         inv_j = jnp.asarray(inv)

@@ -57,6 +57,60 @@ def test_supports(cornell):
     assert not mega_diff.supports_diff(scene, cam, 1000, 1, 50)
 
 
+def test_geometry_trainable_gate(cornell):
+    # The fused path zeroes geometry cotangents by construction; the gate
+    # must never auto-engage for a geometry-trainable (or undeclared)
+    # trainable set, and forced mode must raise rather than silently zero.
+    scene, cam = cornell
+    assert mega_diff.supports_diff(scene, cam, SPP, 1, DEPTH)
+    # Auto mode: shading-only trainable set may engage (on TPU); a
+    # geometry leaf or an undeclared set never does.
+    assert not mega_diff.enabled(scene, cam, SPP, 1, DEPTH,
+                                 trainable=("tex_ca", "sph_c0"))
+    assert not mega_diff.enabled(scene, cam, SPP, 1, DEPTH, trainable=None)
+    # Absent-kind geometry (no triangles in the supported class) is safe.
+    assert (mega_diff.enabled(scene, cam, SPP, 1, DEPTH,
+                              trainable=("tex_ca", "tri_v0"))
+            == mega_diff.enabled(scene, cam, SPP, 1, DEPTH,
+                                 trainable=("tex_ca",)))
+    mega_diff.FUSED_DIFF = True
+    try:
+        with pytest.raises(ValueError, match="geometry"):
+            mega_diff.enabled(scene, cam, SPP, 1, DEPTH,
+                              trainable=("tex_ca", "sph_c0"))
+        assert mega_diff.enabled(scene, cam, SPP, 1, DEPTH,
+                                 trainable=("tex_ca", "background"))
+    finally:
+        mega_diff.FUSED_DIFF = None
+    # End to end: render_loss threads its trainable set into the gate, so
+    # a geometry-trainable run with the fused path FORCED raises instead
+    # of silently returning zero geometry cotangents.  (Within the
+    # supported scene class the detached estimator's true geometry
+    # gradient is zero a.e. anyway — solid/checker textures are piecewise
+    # constant in the hit point — but the gate must not rely on that.)
+    from another_raytracer_tpu.grad import diff
+
+    params, _ = diff.split_params(scene, ("tex_ca", "rect_k"))
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    mega_diff.FUSED_DIFF = True
+    render_lib.clear_trace_caches()
+    try:
+        with pytest.raises(ValueError, match="geometry"):
+            jax.value_and_grad(diff.render_loss)(
+                params, scene, cam, target, jnp.uint32(0), width=W, height=H,
+                spp=SPP, samples_per_pass=1, max_depth=DEPTH, t_min=1e-3)
+    finally:
+        mega_diff.FUSED_DIFF = None
+        render_lib.clear_trace_caches()
+
+
+def test_record_iters_budget():
+    # supports_diff must reject configs whose residual rows exceed the
+    # kernel's 4 MB budget at the 1024-lane Mosaic block floor
+    # (record_iters > 256 once meant 8 MB/block and a scoped-vmem blowup).
+    assert mega_diff.MAX_RECORD_ITERS * 16 * 1024 <= 4 * 1024 * 1024
+
+
 def test_grads_match_autodiff(cornell):
     scene, cam = cornell
     # A fixed, non-uniform cotangent so every lane contributes differently.
