@@ -163,7 +163,7 @@ class SceneData:
     # cost of two triangle tests).  The sphere tree holds world-baked
     # centers.
     bvh_packed_nodes: jnp.ndarray  # [M,8]
-    bvh_packed_tris: jnp.ndarray  # [N+pad,16]
+    bvh_packed_tris: jnp.ndarray  # [N+pad,24] (uv/mat in cols 10-16)
     rect_bvh_nodes: jnp.ndarray  # [Mr,8]
     rect_bvh_rows: jnp.ndarray  # [Nr+pad,16]
     sph_bvh_nodes: jnp.ndarray  # [Ms,8]
@@ -570,7 +570,7 @@ class SceneBuilder:
             bvh_node_min=z3, bvh_node_max=z3, bvh_escape=zi,
             bvh_leaf_first=zi, bvh_leaf_count=zi, bvh_prim_order=zi,
             bvh_packed_nodes=jnp.zeros((0, 8), dtype),
-            bvh_packed_tris=jnp.zeros((0, 16), dtype),
+            bvh_packed_tris=jnp.zeros((0, 24), dtype),
             rect_bvh_nodes=jnp.zeros((0, 8), dtype),
             rect_bvh_rows=jnp.zeros((0, 16), dtype),
             sph_bvh_nodes=jnp.zeros((0, 8), dtype),
@@ -588,11 +588,16 @@ class SceneBuilder:
             from another_raytracer_tpu.ops.pallas import bvh_kernel
 
             pv0, pv1, pv2, pcodes = [], [], [], []
+            puv0, puv1, puv2, pmats = [], [], [], []
             if tri_in_bvh:
                 pv0.append(np.stack(tri[0]).reshape(nt, 3))
                 pv1.append(np.stack(tri[1]).reshape(nt, 3))
                 pv2.append(np.stack(tri[2]).reshape(nt, 3))
                 pcodes.append(np.arange(nt, dtype=np.int64) * 4 + PRIM_TRIANGLE)
+                puv0.append(np.stack(tri[3]).reshape(nt, 2))
+                puv1.append(np.stack(tri[4]).reshape(nt, 2))
+                puv2.append(np.stack(tri[5]).reshape(nt, 2))
+                pmats.append(np.asarray(tri[6], np.int64))
             if rect_in_bvh and rect_quad_ids:
                 qv0, qv1, qv2, qcodes = _rect_quads(
                     self._rects, rect_quad_ids, rots, trans)
@@ -600,6 +605,13 @@ class SceneBuilder:
                 pv1.append(qv1)
                 pv2.append(qv2)
                 pcodes.append(qcodes)
+                # Quad rows carry zero uv/mat: their hit record (incl. mat)
+                # is recomputed from the ORIGINAL rect parameters, and the
+                # full-record fold masks on winner kind == triangle.
+                nq = qcodes.shape[0]
+                for lst in (puv0, puv1, puv2):
+                    lst.append(np.zeros((nq, 2)))
+                pmats.append(np.zeros((nq,), np.int64))
             v0 = np.concatenate(pv0)
             v1 = np.concatenate(pv1)
             v2 = np.concatenate(pv2)
@@ -607,7 +619,9 @@ class SceneBuilder:
             tree = bvh_lib.build(*bvh_lib.triangle_bounds(v0, v1, v2),
                                  leaf_size=bvh_leaf_size)
             packed_nodes, packed_rows = bvh_kernel.pack_planar(
-                tree, v0, v1, v2, codes)
+                tree, v0, v1, v2, codes,
+                uv0=np.concatenate(puv0), uv1=np.concatenate(puv1),
+                uv2=np.concatenate(puv2), mats=np.concatenate(pmats))
             bvh_arrays.update(
                 bvh_node_min=f(tree.node_min, tree.node_min.shape),
                 bvh_node_max=f(tree.node_max, tree.node_max.shape),

@@ -360,6 +360,14 @@ def _scan_kind(best, n_total, chunk_fn, kind):
 # narrow tail stages and adaptive's buckets auto-disable).
 FOLD_TRI_RECORD = True
 FOLD_RECORD_MIN_B = 131072
+# Fold the FULL record (interpolated texcoords + material id) in-kernel,
+# not just (n, u, v): the shading stage then performs NO winner-record
+# gather at all.  Requires 24-col planar rows (uv/mat packed, scene.py);
+# vector cost is ~6 extra multiply-adds + 3 selects per leaf test.
+# Round-5 mesh-bench profile: the [N,8] row gather (15 ms) + 6-col unpack
+# (45 ms) + mat convert (8 ms) were 68 of 310 device-ms.  Trace-time knob
+# (scripts/ab_fold_full.py).
+FOLD_FULL_RECORD = True
 
 
 def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
@@ -381,12 +389,14 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
         # t_min would silently diverge from the sweeps, so refuse it here
         # (float() raises TracerConversionError on tracers).
         if want_aux and prim == "planar":
-            t, code, improved, n_aux, u_aux, v_aux = bvh_kernel.bvh_closest_hit(
+            full = FOLD_FULL_RECORD and rows.shape[1] >= 17
+            out = bvh_kernel.bvh_closest_hit(
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
                 leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
-                prim=prim, time=time, fold_record=True,
+                prim=prim, time=time, fold_record=True, fold_full=full,
             )
-            aux = (n_aux, u_aux, v_aux)
+            t, code, improved = out[:3]
+            aux = out[3:]  # (n, u, v) or (n, u, v, tu, tv, mat_f32)
         else:
             t, code, improved = bvh_kernel.bvh_closest_hit(
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
@@ -687,10 +697,22 @@ def _triangle_record(scene, o, d, t, idx):
 
 
 def _triangle_record_aux(scene, o, d, t, idx, aux):
-    """Forward-path triangle record from KERNEL-FOLDED (n, u, v): only the
-    texcoord/material half of the winner row is gathered ([N,8] instead of
-    [N,16]), and t is used as-is (the kernel's winner t — the
-    differentiable path never takes this route)."""
+    """Forward-path triangle record from KERNEL-FOLDED aux; t is used
+    as-is (the kernel's winner t — the differentiable path never takes
+    this route).
+
+    With the full fold (n, u, v, tu, tv, mat) the record needs NO gather
+    at all; with the partial fold (n, u, v) only the texcoord/material
+    half of the winner row is gathered ([N,8] instead of [N,16])."""
+    if len(aux) == 6:
+        n_aux, u, v, tu, tv, mat_f = aux
+        # Garbage on non-triangle winners (masked by kind in
+        # make_hit_record); clamp so downstream material Lookups stay
+        # in-range either way.
+        mat = jnp.clip(mat_f.astype(jnp.int32), 0,
+                       scene.mat_kind.shape[0] - 1)
+        p_world = o + d * t
+        return t, p_world, n_aux, mat, u, v, tu, tv
     n_aux, u, v = aux
     ii = jnp.clip(idx, 0, scene.n_triangles - 1)
     fdt = scene.tri_v0.dtype

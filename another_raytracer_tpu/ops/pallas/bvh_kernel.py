@@ -493,9 +493,13 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     init value — , improved [B] bool); with ``fold_record`` (planar only),
     additionally (n V3 unit normal, u [B], v [B]) of the winning triangle
     for improved lanes (garbage elsewhere — consumers must mask on the
-    final winner kind).
+    final winner kind).  With ``fold_full`` (requires 24-col rows packed
+    with uv/mat, see pack_planar), additionally (tu [B], tv [B],
+    mat [B] f32) — the shading stage then needs NO winner-record gather.
     """
     assert not (fold_record and prim != "planar")
+    assert not (fold_full and not fold_record)
+    assert not (fold_full and rows.shape[1] < 17), "rows lack uv/mat columns"
     if interpret is None:
         # Auto: Mosaic needs a real TPU; CPU runs (e.g. the multichip CPU
         # dryrun exercising shard_map x packet-kernel composition with a
@@ -528,12 +532,12 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     promoted = match_vma(rays[0], *scalars, rows)
     scalars, rows = promoted[:-1], promoted[-1]
 
-    n_out = 8 if fold_record else 3
+    n_aux = (8 if fold_full else 5) if fold_record else 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=grid,
         in_specs=[full(rows)] + [ray_spec] * 9,
-        out_specs=[ray_spec] * n_out,
+        out_specs=[ray_spec] * (3 + n_aux),
     )
 
     f32l = lambda: lane_struct((B + pad,), jnp.float32, rays[0])  # noqa: E731
@@ -541,13 +545,11 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
         f32l(),
         lane_struct((B + pad,), jnp.int32, rays[0]),
         lane_struct((B + pad,), jnp.int32, rays[0]),
-    ]
-    if fold_record:
-        out_shape += [f32l()] * 5
+    ] + [f32l()] * n_aux
     out = pl.pallas_call(
         functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min,
                           leaf_size=leaf_size, prim=prim,
-                          fold_record=fold_record),
+                          fold_record=fold_record, fold_full=fold_full),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -557,7 +559,11 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     if fold_record:
         from another_raytracer_tpu.ops.vec3 import V3
 
-        nx, ny, nz, uu, vv = (a[:B] for a in out[3:])
-        return (out_t[:B], out_i[:B], out_hit[:B].astype(bool),
+        aux = [a[:B] for a in out[3:]]
+        nx, ny, nz, uu, vv = aux[:5]
+        base = (out_t[:B], out_i[:B], out_hit[:B].astype(bool),
                 V3(nx, ny, nz), uu, vv)
+        if fold_full:
+            return base + tuple(aux[5:])  # tu, tv, mat (f32)
+        return base
     return out_t[:B], out_i[:B], out_hit[:B].astype(bool)

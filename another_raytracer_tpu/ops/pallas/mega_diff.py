@@ -27,15 +27,20 @@ pure-XLA replay over those codes:
 No sweep, no hit-record recompute, no shading math in the backward.
 
 Gradient scope (by construction of the gate): d/d tex_ca, d/d tex_cb
-and d/d background are EXACT (they are the only parameters the radiance
-depends on for this scene class — scatter directions are parameter-free
-for lambertian, dielectric/metal/fuzz/ir/atlas are absent, and the
-checker-branch decision is a recorded discrete bit, not a parameter
-function).  Geometry cotangents (sphere centers, rect
-params) are returned as ZERO: this path serves the shading-parameter
-training step (grad/diff.py DEFAULT_TRAINABLE); geometry-trainable runs
-must disable it (FUSED_DIFF = False) — CPU runs (all tests/demos of
-geometry gradients) never take it anyway.
+and d/d background are EXACT — they are the only parameters the radiance
+depends on CONTINUOUSLY for this scene class.  Metal and dielectric are
+in the class (round 5): a metal scatter multiplies by its albedo texture
+exactly like lambertian (same cotangent routing); a dielectric scatter
+multiplies by the constant (1,1,1) (sentinel tid = n_textures); a metal
+absorption ends the chain at value zero (ev=0 + end bit).  d/d mat_fuzz
+and d/d mat_ir are zero under the detached estimator for solid/checker
+scenes — fuzz/ir enter only through scatter DIRECTIONS, and with
+piecewise-constant textures the radiance value is a product of texture
+constants independent of hit positions; XLA autodiff of the scan path
+returns exactly zero too (verified in tests/test_mega_diff.py), so the
+fused zeros are not an approximation.  Geometry cotangents (sphere
+centers, rect params) are returned as ZERO and the enable gate refuses
+geometry-trainable sets (see enabled()).
 
 Numerics: the primal is the megakernel (ulp-level transcendental
 divergence from XLA, validated in scripts/ab_mega.py); the gradients are
@@ -88,6 +93,8 @@ def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
     return (
         mega_kernel.supports(scene, cam)
         and set(scene.mat_kinds) <= {scene_lib.MAT_LAMBERTIAN,
+                                     scene_lib.MAT_METAL,
+                                     scene_lib.MAT_DIELECTRIC,
                                      scene_lib.MAT_DIFFUSE_LIGHT}
         and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID,
                                      scene_lib.TEX_CHECKER}
@@ -170,10 +177,12 @@ def _traced_bwd(cfg, res, cot):
     cav = [tuple(ca[t, c] for c in range(3)) for t in range(T)]
     cbv = [tuple(cb[t, c] for c in range(3)) for t in range(T)]
     bgv = tuple(bg[c] for c in range(3))
-    # STATIC gate: scenes without checker textures skip the odd-bit
+    # STATIC gates: scenes without checker textures skip the odd-bit
     # machinery entirely (it cost ~20% of the Cornell headline when
-    # traced unconditionally).
+    # traced unconditionally); likewise metal/dielectric handling.
     has_checker = scene_lib.TEX_CHECKER in scene.tex_kinds
+    has_metal = scene_lib.MAT_METAL in scene.mat_kinds
+    has_diel = scene_lib.MAT_DIELECTRIC in scene.mat_kinds
 
     def decode(row):
         ev = row & 3
@@ -192,6 +201,12 @@ def _traced_bwd(cfg, res, cot):
                 val = (jnp.where(odd, cbv[t][c], cav[t][c])
                        if has_checker else cav[t][c])
                 out[c] = jnp.where(m, val, out[c])
+        if has_diel:
+            # Sentinel tid == T: dielectric scatter, attenuation (1,1,1)
+            # (material.h:77-79) — no albedo cotangent routed (the
+            # contribution loops only cover tid < T).
+            m = tid == T
+            out = [jnp.where(m, 1.0, out[c]) for c in range(3)]
         return out
 
     # ---- reverse replay: suffix values + gradient accumulation ------------
@@ -240,6 +255,14 @@ def _traced_bwd(cfg, res, cot):
                       jnp.where(light, a[c],
                                 jnp.where(miss, bgv[c], r[c])))
             for c in range(3))
+        if has_metal:
+            # Metal absorption (material.h:52-55): the kernel emits ev=0
+            # WITH the end bit — the chain dies contributing nothing, so
+            # the suffix value is exactly zero.  (In the lambertian class
+            # ev=0∧end never occurs; idle dead rows are ev=0 without end
+            # and remain no-ops.)
+            dead_end = (ev == 0) & end
+            r = tuple(jnp.where(dead_end, 0.0, r[c]) for c in range(3))
         return (r, acc, accb, gbg), None
 
     accb0 = acc0 if has_checker else ()

@@ -223,7 +223,7 @@ def pack_rows(scene):
 
 def _kernel(*args,
             n_spheres, n_rects, mat_kinds, tex_kinds, has_lens, has_time,
-            max_depth, t_min, width, height, max_iters=0,
+            max_depth, t_min, width, height, max_iters=0, n_textures=0,
             accel=False, leaf_size=0, n_nodes=0):
     if accel:
         # BVH mode: node columns via scalar prefetch, leaf rows in VMEM
@@ -684,12 +684,21 @@ def _kernel(*args,
             ev = scattered.astype(jnp.int32) + jnp.where(miss_now, 3, 0)
             if has_light:
                 ev = ev + jnp.where(hit & is_light, 2, 0)
-            tid16 = jnp.where(ev > 0, b_tid.astype(jnp.int32) * 16, 0)
+            tid = b_tid.astype(jnp.int32)
+            if has_diel:
+                # Dielectric attenuation is the constant (1,1,1)
+                # (material.h:77-79): record the sentinel tid n_textures so
+                # the replay multiplies by 1 and routes no albedo cotangent.
+                tid = jnp.where(is_die, n_textures, tid)
+            tid16 = jnp.where(ev > 0, tid * 16, 0)
             code = tid16 + jnp.where(ended, 4, 0) + ev
             if has_checker:
                 # which checker branch won: the replay routes the albedo
                 # cotangent to tex_cb for odd cells
                 code = code + jnp.where(is_check, 8, 0)
+            # Metal absorption (scatter below the surface, material.h:52-55)
+            # emits ev=0 WITH the end bit: the replay zeroes the suffix
+            # value there (the chain dies contributing nothing).
 
             blk = out_code.shape[0] // max_iters
 
@@ -837,7 +846,7 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         mat_kinds=scene.mat_kinds, tex_kinds=scene.tex_kinds,
         has_lens=cam.has_lens, has_time=cam.has_time and scene.has_motion,
         max_depth=max_depth, t_min=t_min, width=width, height=height,
-        max_iters=record_iters,
+        max_iters=record_iters, n_textures=scene.tex_kind.shape[0],
         accel=accel,
         leaf_size=scene.bvh_leaf_size if accel else 0,
         n_nodes=scene.n_sph_bvh_nodes if accel else 0,

@@ -51,3 +51,36 @@ class RayStats:
     @property
     def mrays_per_s(self) -> float:
         return self.segments / self.seconds / 1e6 if self.seconds else 0.0
+
+
+def module_device_seconds(logdir: str) -> float:
+    """Total XLA-module DEVICE span in the newest trace under ``logdir``.
+
+    The honest substrate for grad-step timing on this tunnel: CLAUDE.md
+    rule 13 — ``block_until_ready`` on small (grad-sized) outputs can
+    return before device work completes, so sub-millisecond walls lie.
+    Shared by scripts/roofline.py, trace_probe and bench.py.
+    """
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))
+    tr = json.loads(gzip.open(files[-1]).read())
+    events = tr["traceEvents"]
+    dev_pid = None
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e.get("args", {}).get("name", ""):
+            dev_pid = e["pid"]
+    tidname = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("pid") == dev_pid \
+                and e.get("name") == "thread_name":
+            tidname[e["tid"]] = e["args"]["name"]
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") == dev_pid \
+                and tidname.get(e.get("tid")) == "XLA Modules":
+            total += e["dur"]
+    return total / 1e6

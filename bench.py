@@ -75,6 +75,29 @@ def main():
 
     mrays = segments / dt / 1e6
 
+    # Self-verification against rule 13 (block_until_ready on grad-sized
+    # outputs can return early on this tunnel): also record the profiler's
+    # XLA-module DEVICE span per step.  The headline stays the historical
+    # wall protocol for cross-round comparability; device_ms is the
+    # substrate a reader should trust for the step's true device cost.
+    device_ms = None
+    try:
+        import tempfile
+
+        from another_raytracer_tpu.utils import profiling
+
+        with tempfile.TemporaryDirectory() as logdir:
+            prof_iters = 5
+            jax.profiler.start_trace(logdir)
+            for _ in range(prof_iters):
+                loss, grads = step(params, scene, cam, target)
+            jax.block_until_ready(grads)
+            time.sleep(1.0)  # let queued device work land in the trace
+            jax.profiler.stop_trace()
+            device_ms = profiling.module_device_seconds(logdir) / prof_iters * 1e3
+    except Exception:
+        pass  # CPU runs / missing trace plumbing: wall-only output
+
     vs_baseline = 1.0
     base_path = Path(__file__).parent / "BENCH_BASELINE.json"
     if base_path.exists():
@@ -85,12 +108,17 @@ def main():
         except Exception:
             pass
 
-    print(json.dumps({
+    rec = {
         "metric": "cornell_box_fwd_bwd",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+        "wall_ms": round(dt * 1e3, 2),
+    }
+    if device_ms is not None:
+        rec["device_ms"] = round(device_ms, 2)
+        rec["device_mrays_per_s"] = round(segments / device_ms / 1e3, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

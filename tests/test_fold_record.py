@@ -2,15 +2,21 @@
 the full [N,16] gather recompute, Pallas interpret mode.
 
 The folded path takes (unit normal, barycentric u/v) straight from the
-packet kernel's leaf tests and only gathers the texcoord/material half of
-the winner row; the algebra differs from the XLA recompute at ulp level
-(triple-product identity), so values agree to tolerance.
+packet kernel's leaf tests; the FULL fold (intersect.FOLD_FULL_RECORD)
+additionally takes the interpolated texcoords and material id, so shading
+performs no winner-record gather at all.  The algebra differs from the
+XLA recompute at ulp level (triple-product identity), so values agree to
+tolerance.
+
+FOLD_RECORD_MIN_B is patched to 0 here: the production gate only requests
+aux at batch widths >= 131072 (the per-leaf fold cost is only profitable
+at wide batches), far above a test-sized render.
 """
 
-import jax.numpy as jnp
 import numpy as np
+import jax.numpy as jnp
+import pytest
 
-from another_raytracer_tpu.models import library
 from another_raytracer_tpu.models.scene import SceneBuilder
 from another_raytracer_tpu.ops import camera as camera_lib, intersect, vec3
 from another_raytracer_tpu.ops import render as render_lib
@@ -25,6 +31,11 @@ def _tri_scene():
     bary = b.lambertian(texture=b.barycentric_texture(
         (1, 0, 0), (0, 1, 0), (0, 0, 1)))
     gray = b.lambertian(color=(0.6, 0.6, 0.6))
+    # An image-textured material exercises the folded texcoords (tu, tv):
+    # triangle hits route the blended vertex texcoords into the atlas
+    # fetch (barycentric_image_texture semantics, texture.h:135-154).
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3) % 251
+    imat = b.lambertian(texture=b.image_texture(img))
     n = 7
     for i in range(n):
         for j in range(n):
@@ -33,16 +44,23 @@ def _tri_scene():
                 z = -2.0 - 2.0 * jj / n
                 return (x, 0.2 * math.sin(3.0 * x + 2.0 * z), z)
 
-            m = bary if (i + j) % 2 else gray
-            b.triangle(pt(i, j), pt(i + 1, j), pt(i + 1, j + 1), m)
-            b.triangle(pt(i, j), pt(i + 1, j + 1), pt(i, j + 1), m)
+            def uv(ii, jj):
+                return (ii / n, jj / n)
+
+            m = (bary, gray, imat)[(i + j) % 3]
+            b.triangle(pt(i, j), pt(i + 1, j), pt(i + 1, j + 1), m,
+                       uvs=(uv(i, j), uv(i + 1, j), uv(i + 1, j + 1)))
+            b.triangle(pt(i, j), pt(i + 1, j + 1), pt(i, j + 1), m,
+                       uvs=(uv(i, j), uv(i + 1, j + 1), uv(i, j + 1)))
     cam = dict(lookfrom=(0, 1.4, 1.0), lookat=(0, 0, -3), vfov=55.0)
     return b.build(bvh=True, pallas_bvh=True), cam
 
 
-def test_fold_record_matches_recompute():
+@pytest.mark.parametrize("full", [False, True])
+def test_fold_record_matches_recompute(full):
     scene, cam_params = _tri_scene()
     assert scene.use_pallas_bvh and scene.tri_in_bvh
+    assert scene.bvh_packed_tris.shape[1] >= 17  # uv/mat columns packed
     cam = camera_lib.make_camera(aspect_ratio=W / H, **cam_params)
 
     def render():
@@ -52,14 +70,18 @@ def test_fold_record_matches_recompute():
             samples_per_pass=1, max_depth=4, t_min=1e-3)
         return vec3.to_numpy(acc), int(segs)
 
-    old = intersect.FOLD_TRI_RECORD
+    old = (intersect.FOLD_TRI_RECORD, intersect.FOLD_RECORD_MIN_B,
+           intersect.FOLD_FULL_RECORD)
     try:
         intersect.FOLD_TRI_RECORD = False
         ref, segs_ref = render()
         intersect.FOLD_TRI_RECORD = True
+        intersect.FOLD_RECORD_MIN_B = 0
+        intersect.FOLD_FULL_RECORD = full
         got, segs_got = render()
     finally:
-        intersect.FOLD_TRI_RECORD = old
+        (intersect.FOLD_TRI_RECORD, intersect.FOLD_RECORD_MIN_B,
+         intersect.FOLD_FULL_RECORD) = old
         render_lib.clear_trace_caches()
 
     assert abs(segs_got - segs_ref) <= max(4, 0.01 * segs_ref)
