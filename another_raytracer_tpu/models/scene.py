@@ -183,6 +183,9 @@ class SceneData:
     tri_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     rect_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     sph_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    # All sphere transforms identity: the sphere-record fold reads the
+    # object-space normal directly from the kernel's world-space one.
+    sph_xf_identity: bool = flax.struct.field(pytree_node=False, default=True)
     # Which material/texture kinds actually appear — lets shading evaluate
     # only the code paths a scene uses (a Cornell box pays nothing for
     # Perlin-noise gathers or dielectric refraction math).
@@ -668,7 +671,9 @@ class SceneBuilder:
                 *bvh_lib.sphere_bounds(c0w, c1w, rr, t0s, t1s),
                 leaf_size=bvh_leaf_size)
             sph_nodes, sph_rows = bvh_kernel.pack_spheres(
-                tree_s, c0w, c1w, t0s, t1s, rr)
+                tree_s, c0w, c1w, t0s, t1s, rr,
+                mats=np.asarray(sph[5], np.int64),
+                has_uv=np.asarray(sph[7], np.float64))
             bvh_arrays.update(
                 sph_bvh_nodes=jnp.asarray(sph_nodes),
                 sph_bvh_rows=jnp.asarray(sph_rows),
@@ -711,6 +716,7 @@ class SceneBuilder:
             n_sph_bvh_nodes=n_sph_bvh,
             tri_in_bvh=tri_in_bvh, rect_in_bvh=rect_in_bvh,
             sph_in_bvh=sph_in_bvh,
+            sph_xf_identity=ns == 0 or all(int(x) == 0 for x in sph[6]),
             bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),

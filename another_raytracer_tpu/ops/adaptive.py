@@ -48,12 +48,13 @@ def _min_bucket() -> int:
     jax.jit,
     static_argnames=("width", "height", "spp", "samples_per_pass", "max_depth", "t_min"),
 )
-def _trace_pixels(scene, cam, pixel_ids, seed, *, width, height, spp,
-                  samples_per_pass, max_depth, t_min):
+def _trace_pixels(scene, cam, pixel_ids, lane_mask, seed, *, width, height,
+                  spp, samples_per_pass, max_depth, t_min):
     return render_lib.radiance_batch(
         scene, cam, pixel_ids, seed, width=width, height=height,
         sample_start=0, n_samples=spp, spp_cap=spp,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
+        lane_mask=lane_mask,
     )
 
 
@@ -62,8 +63,9 @@ def _trace_pixels(scene, cam, pixel_ids, seed, *, width, height, spp,
     static_argnames=("mesh", "width", "height", "spp", "samples_per_pass",
                      "max_depth", "t_min"),
 )
-def _trace_pixels_sharded(scene, cam, pixel_ids, seed, *, mesh, width, height,
-                          spp, samples_per_pass, max_depth, t_min):
+def _trace_pixels_sharded(scene, cam, pixel_ids, lane_mask, seed, *, mesh,
+                          width, height, spp, samples_per_pass, max_depth,
+                          t_min):
     """Adaptive pixel batches over the device mesh: pixels shard over 'tile',
     the sample range over 'spp' with a psum — the same decomposition as
     parallel_stripes/images (parallel/sharding.py), applied to the bucketed
@@ -75,14 +77,14 @@ def _trace_pixels_sharded(scene, cam, pixel_ids, seed, *, mesh, width, height,
     n_spp = mesh.shape["spp"]
     spp_local = -(-spp // n_spp)
 
-    def shard_fn(scene, cam, seed, pix_local):
+    def shard_fn(scene, cam, seed, pix_local, mask_local):
         spp_idx = jax.lax.axis_index("spp")
         acc, segs = render_lib.radiance_batch(
             scene, cam, pix_local, seed, width=width, height=height,
             sample_start=(spp_idx * spp_local).astype(jnp.uint32),
             n_samples=spp_local, spp_cap=spp,
             samples_per_pass=samples_per_pass, max_depth=max_depth,
-            t_min=t_min,
+            t_min=t_min, lane_mask=mask_local,
         )
         acc = jax.lax.psum(acc, "spp")
         segs = jax.lax.psum(segs, ("tile", "spp"))
@@ -90,11 +92,11 @@ def _trace_pixels_sharded(scene, cam, pixel_ids, seed, *, mesh, width, height,
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P("tile")),
+        in_specs=(P(), P(), P(), P("tile"), P("tile")),
         out_specs=(P("tile"), P()),
         check_vma=True,  # see parallel/sharding.py note
     )
-    return fn(scene, cam, seed, pixel_ids)
+    return fn(scene, cam, seed, pixel_ids, lane_mask)
 
 
 def _bucket(n: int) -> int:
@@ -203,21 +205,38 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
             return
         traced += len(flat)
         b = _bucket(len(flat))
-        padded = np.full(b, flat[0], np.uint32)
+        # Widen samples_per_pass toward the ~128k-lane VMEM-residency sweet
+        # spot: adaptive buckets (32-64k pixels) are far below the width the
+        # wavefront was tuned at, so each lane takes a slice of the sample
+        # range instead (the RNG keys on absolute (pixel, sample) ids; only
+        # the per-pixel fp accumulation grouping changes).  CPU keeps the
+        # configured value (tests; no VMEM to fill).
+        spass = config.adaptive_spass
+        if spass is None:
+            spass = config.samples_per_pass
+            if jax.default_backend() != "cpu":
+                spass = max(spass, min(spp, max(1, 131072 // b)))
+        # Pad lanes are DEAD (lane_mask False -> born past the sample cap):
+        # they trace nothing and count no segments.  Before this, padding
+        # replicated flat[0] and re-traced real pixels — ~45% of the
+        # reference-default adaptive workload across its 4 bucket launches.
+        padded = np.zeros(b, np.uint32)
         padded[: len(flat)] = flat
-        kw = dict(width=W, height=H, spp=spp,
-                  samples_per_pass=config.samples_per_pass,
+        mask = np.zeros(b, bool)
+        mask[: len(flat)] = True
+        kw = dict(width=W, height=H, spp=spp, samples_per_pass=spass,
                   max_depth=config.max_depth, t_min=config.t_min)
         if mesh is not None:
             acc, segs = _trace_pixels_sharded(
-                scene, cam, jnp.asarray(padded), jnp.uint32(config.seed),
-                mesh=mesh, **kw)
+                scene, cam, jnp.asarray(padded), jnp.asarray(mask),
+                jnp.uint32(config.seed), mesh=mesh, **kw)
         else:
             acc, segs = _trace_pixels(
-                scene, cam, jnp.asarray(padded), jnp.uint32(config.seed), **kw)
+                scene, cam, jnp.asarray(padded), jnp.asarray(mask),
+                jnp.uint32(config.seed), **kw)
         from another_raytracer_tpu.ops import vec3
         acc = vec3.to_numpy(acc)[: len(flat)]
-        total_segments += int(segs)  # padding overcount is bounded by bucket
+        total_segments += int(segs)  # dead padding: honest count
         work[flat // W, flat % W] = _to_int_color(acc, spp)
 
     _level = [0]

@@ -142,9 +142,13 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
     # skips the vertex half of the winner-record gather (intersect.py
     # FOLD_TRI_RECORD; never on the differentiable path — it needs the
     # vertex recompute for geometry gradients).
-    want_aux = (fast_texel and scene.use_pallas_bvh and scene.tri_in_bvh
-                and intersect.FOLD_TRI_RECORD
+    fold_tri = (scene.tri_in_bvh and intersect.FOLD_TRI_RECORD
                 and pixel_ids.shape[0] >= intersect.FOLD_RECORD_MIN_B)
+    fold_sph = (scene.sph_in_bvh and intersect.FOLD_SPH_RECORD
+                and scene.n_bvh_nodes == 0 and scene.sph_xf_identity
+                and pixel_ids.shape[0] >= intersect.FOLD_SPH_MIN_B)
+    want_aux = (fast_texel and scene.use_pallas_bvh
+                and (fold_tri or fold_sph))
     if want_aux:
         (t, kind, idx), aux = intersect.closest_hit(
             sg(scene), sg(o_live), sg(d_live), sg(time), u_media, t_min,

@@ -365,9 +365,20 @@ FOLD_RECORD_MIN_B = 131072
 # gather at all.  Requires 24-col planar rows (uv/mat packed, scene.py);
 # vector cost is ~6 extra multiply-adds + 3 selects per leaf test.
 # Round-5 mesh-bench profile: the [N,8] row gather (15 ms) + 6-col unpack
-# (45 ms) + mat convert (8 ms) were 68 of 310 device-ms.  Trace-time knob
-# (scripts/ab_fold_full.py).
+# (45 ms) + mat convert (8 ms) were 68 of 310 device-ms.  In-process A/B
+# (scripts/ab_fold_full.py): mesh 561 (nofold) / 497 (partial) / 398 ms
+# (full), zero segment drift, 99.998% pixels within 2/255.
 FOLD_FULL_RECORD = True
+# Sphere-tree analogue (random-scene class): fold the winner's world
+# outward normal + mat + has_uv at leaf-test time; the record then needs
+# no [N,12] row gather (UV recomputed from the folded normal — identity
+# sphere transforms only).  In-process A/B (scripts/ab_fold_sph.py):
+# random bench 84.5 -> 73.8 ms (1.14x) at B=90k, 99.73% pixels within
+# 2/255, 0.0035%% segment drift (f32 ulp ties).  Its width gate sits
+# lower than the triangle fold's: the sphere fold adds ~9 vector ops to a
+# ~25-op leaf test and measured profitable at 90k.
+FOLD_SPH_RECORD = True
+FOLD_SPH_MIN_B = 65536
 
 
 def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
@@ -388,15 +399,17 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
         # The kernel bakes t_min in as a compile-time constant; a traced
         # t_min would silently diverge from the sweeps, so refuse it here
         # (float() raises TracerConversionError on tracers).
-        if want_aux and prim == "planar":
-            full = FOLD_FULL_RECORD and rows.shape[1] >= 17
+        if want_aux and prim in ("planar", "sphere"):
+            full = (prim == "planar" and FOLD_FULL_RECORD
+                    and rows.shape[1] >= 17)
             out = bvh_kernel.bvh_closest_hit(
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
                 leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
                 prim=prim, time=time, fold_record=True, fold_full=full,
             )
             t, code, improved = out[:3]
-            aux = out[3:]  # (n, u, v) or (n, u, v, tu, tv, mat_f32)
+            # planar: (n, u, v[, tu, tv, mat_f32]); sphere: (n, mat, huv)
+            aux = (prim,) + tuple(out[3:])
         else:
             t, code, improved = bvh_kernel.bvh_closest_hit(
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
@@ -440,6 +453,13 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min, want_aux=False):
     aux = None
     give_aux = (want_aux and FOLD_TRI_RECORD and scene.use_pallas_bvh
                 and scene.n_bvh_nodes > 0)
+    # Sphere-tree fold: only when the planar tree doesn't claim the single
+    # aux slot (no canonical scene accelerates both kinds) and sphere
+    # transforms are identity (the folded world normal doubles as the
+    # object-space normal the UV needs).
+    give_sph_aux = (want_aux and FOLD_SPH_RECORD and scene.use_pallas_bvh
+                    and scene.n_sph_bvh_nodes > 0 and scene.n_bvh_nodes == 0
+                    and scene.sph_xf_identity)
     if scene.n_bvh_nodes:  # planar tree: triangles and/or transformed-rect quads
         if give_aux:
             best, aux = _fold_bvh(scene, best, scene.bvh_packed_nodes,
@@ -453,8 +473,13 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min, want_aux=False):
         best = _fold_bvh(scene, best, scene.rect_bvh_nodes,
                          scene.rect_bvh_rows, o, d, time, t_min, "rect")
     if scene.n_sph_bvh_nodes:
-        best = _fold_bvh(scene, best, scene.sph_bvh_nodes,
-                         scene.sph_bvh_rows, o, d, time, t_min, "sphere")
+        if give_sph_aux:
+            best, aux = _fold_bvh(scene, best, scene.sph_bvh_nodes,
+                                  scene.sph_bvh_rows, o, d, time, t_min,
+                                  "sphere", want_aux=True)
+        else:
+            best = _fold_bvh(scene, best, scene.sph_bvh_nodes,
+                             scene.sph_bvh_rows, o, d, time, t_min, "sphere")
     if scene.n_spheres and not scene.sph_in_bvh:
         best = _scan_kind(
             best, scene.n_spheres,
@@ -544,6 +569,23 @@ def _sphere_record(scene, o, d, time, t, idx):
     n_world = vec3.rotate(rows, n_obj)
     p_world = o + d * t
     mat = mat_packed if mat_packed is not None else look(scene.sph_mat)[0]
+    return t, p_world, n_world, mat, u, v, u, v
+
+
+def _sphere_record_aux(scene, o, d, t, aux):
+    """Forward-path sphere record from the KERNEL-FOLDED (world outward
+    normal, mat id, has_uv): no winner-row gather.  Identity sphere
+    transforms only (gated in closest_hit) — the world normal IS the
+    object-space normal, so the spherical UV (sphere.h:24-37) recomputes
+    from it directly.  t is the kernel's winner t, used as-is (forward
+    path only)."""
+    n_world, mat_f, has_uv = aux
+    mat = jnp.clip(mat_f.astype(jnp.int32), 0, scene.mat_kind.shape[0] - 1)
+    theta = jnp.arccos(jnp.clip(-n_world.y, -1.0, 1.0))
+    phi = jnp.arctan2(-n_world.z, n_world.x) + jnp.pi
+    u = (phi / (2.0 * jnp.pi)) * has_uv
+    v = (theta / jnp.pi) * has_uv
+    p_world = o + d * t
     return t, p_world, n_world, mat, u, v, u, v
 
 
@@ -771,8 +813,10 @@ def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None,
     own t differentiably, so callers may pass ``stop_gradient(t)``.
     ``t_min`` must match the value used for winner selection — the medium
     recompute clamps the boundary entry to it (constant_medium.h:57).
-    ``aux``: kernel-folded triangle (n, u, v) from closest_hit(want_aux=True)
-    — forward path only (skips the differentiable vertex recompute).
+    ``aux``: kernel-folded winner record from closest_hit(want_aux=True),
+    tagged with its tree kind: ('planar', n, u, v[, tu, tv, mat]) or
+    ('sphere', n, mat, has_uv) — forward path only (skips the
+    differentiable recompute and its gathers).
     """
     B = t.shape[0]
     z = jnp.zeros((B,), o.x.dtype)
@@ -793,12 +837,16 @@ def make_hit_record(scene, o: V3, d: V3, time, t, kind, idx, u_media=None,
         tv = jnp.where(cond, ntv, tv)
 
     if scene.n_spheres:
-        merge(kind == scene_lib.PRIM_SPHERE, _sphere_record(scene, o, d, time, t, idx))
+        if aux is not None and aux[0] == "sphere":
+            sph = _sphere_record_aux(scene, o, d, t, aux[1:])
+        else:
+            sph = _sphere_record(scene, o, d, time, t, idx)
+        merge(kind == scene_lib.PRIM_SPHERE, sph)
     if scene.n_rects:
         merge(kind == scene_lib.PRIM_RECT, _rect_record(scene, o, d, t, idx))
     if scene.n_triangles:
-        if aux is not None:
-            tri = _triangle_record_aux(scene, o, d, t, idx, aux)
+        if aux is not None and aux[0] == "planar":
+            tri = _triangle_record_aux(scene, o, d, t, idx, aux[1:])
         else:
             tri = _triangle_record(scene, o, d, t, idx)
         merge(kind == scene_lib.PRIM_TRIANGLE, tri)

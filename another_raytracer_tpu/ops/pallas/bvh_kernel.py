@@ -169,16 +169,22 @@ def pack_rects(tree: FlatBVH, axis, k, lo, hi, codes) -> tuple:
     return pack_nodes(tree), rows
 
 
-def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r) -> tuple:
+def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r, mats=None,
+                 has_uv=None) -> tuple:
     """(nodes [M,8], rows [N+pad,16]) for the sphere kernel.  Centers are
     WORLD-space (transforms baked); zero pad rows are never hit (r = 0 gives
-    disc <= 0 by Cauchy-Schwarz)."""
+    disc <= 0 by Cauchy-Schwarz).  ``mats``/``has_uv``, when given, fill
+    cols 10/11 for the in-kernel winner-record fold."""
     from another_raytracer_tpu.models.scene import PRIM_SPHERE
 
     order = tree.prim_order
     n = order.shape[0]
     assert n < (1 << 22)
     rows = _leaf_rows(tree)
+    if mats is not None:
+        assert np.asarray(mats).max(initial=0) < (1 << 24)
+        rows[:n, 10] = np.asarray(mats, np.int64)[order]
+        rows[:n, 11] = np.asarray(has_uv, np.float64)[order]
     c0_w = np.asarray(c0_w, np.float64)[order]
     c1_w = np.asarray(c1_w, np.float64)[order]
     t0 = np.asarray(t0, np.float64)[order]
@@ -337,9 +343,12 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         oid = rows_ref[row, 9]
 
         frac = (time - st0) * inv_dt
-        ocx = o[0] - (c0[0] + frac * cd[0])
-        ocy = o[1] - (c0[1] + frac * cd[1])
-        ocz = o[2] - (c0[2] + frac * cd[2])
+        cx = c0[0] + frac * cd[0]
+        cy = c0[1] + frac * cd[1]
+        cz = c0[2] + frac * cd[2]
+        ocx = o[0] - cx
+        ocy = o[1] - cy
+        ocz = o[2] - cz
         half_b = ocx * d[0] + ocy * d[1] + ocz * d[2]
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = half_b * half_b - a_vec * c
@@ -350,6 +359,19 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         r1_ok = (root1 > t_min) & (root1 < best_t)
         t = jnp.where(r1_ok, root1, root2)
         valid = ok & (t > t_min) & (t < best_t)
+        if fold_record:
+            # Winner-record fold for spheres: world outward normal
+            # (p - c)/r — /r keeps the negative-radius (hollow dielectric)
+            # sign exactly like _sphere_record — plus mat id and has_uv
+            # from cols 10/11; the shading stage then computes UV from the
+            # folded normal with NO winner-record gather (identity sphere
+            # transforms only; gated in intersect.closest_hit).
+            inv_r = 1.0 / jnp.where(r != 0.0, r, 1.0)
+            nx = (ocx + t * d[0]) * inv_r
+            ny = (ocy + t * d[1]) * inv_r
+            nz = (ocz + t * d[2]) * inv_r
+            aux = ((nx, ny, nz), rows_ref[row, 10], rows_ref[row, 11])
+            return t, valid, oid, aux
         return t, valid, oid
 
     def rect_test(base, k, best_t):
@@ -497,7 +519,8 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     with uv/mat, see pack_planar), additionally (tu [B], tv [B],
     mat [B] f32) — the shading stage then needs NO winner-record gather.
     """
-    assert not (fold_record and prim != "planar")
+    assert not (fold_record and prim not in ("planar", "sphere"))
+    assert not (fold_full and prim != "planar")
     assert not (fold_full and not fold_record)
     assert not (fold_full and rows.shape[1] < 17), "rows lack uv/mat columns"
     if interpret is None:

@@ -29,7 +29,8 @@ from another_raytracer_tpu.ops import integrator
 def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
                    sample_start, n_samples, spp_cap, samples_per_pass,
                    max_depth, t_min, differentiable=False, remat=False,
-                   unroll=None, chunk_unroll=1, trainable=None):
+                   unroll=None, chunk_unroll=1, trainable=None,
+                   lane_mask=None):
     """Radiance sums for an arbitrary pixel batch over samples
     [sample_start, sample_start + n_samples) ∩ [0, spp_cap).
 
@@ -45,6 +46,12 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     hard-zero geometry cotangents by construction, so an undeclared (None)
     set conservatively keeps the exact XLA autodiff path.
 
+    ``lane_mask`` ([Np] bool, optional): lanes where False are PAD lanes —
+    born dead (their samples start past the cap), contributing zero
+    radiance and zero segments.  The adaptive mode's bucketed batches use
+    this so padding traces nothing: before it, padding re-traced real
+    pixels and was ~45%% of the reference-default adaptive workload.
+
     Returns (radiance_sum V3 of [Np], segments [] int32).
     """
     from another_raytracer_tpu.ops import vec3
@@ -57,6 +64,7 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     # Sample-major ray layout: rays[s*Np + p] belongs to pixel p, sample s.
     pix = jnp.tile(pixel_ids, spass)
     samp_offsets = jnp.repeat(jnp.arange(spass, dtype=jnp.uint32), n_pixels)
+    lanes_ok = None if lane_mask is None else jnp.tile(lane_mask, spass)
 
     if not differentiable and integrator.REGEN_FORWARD and n_samples > spass:
         # Forward renders use the regenerating wavefront: lanes re-arm with
@@ -76,8 +84,14 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
             trace_fn = mega_kernel.trace_regenerative_mega
         else:
             trace_fn = integrator.trace_regenerative
+        samp0 = samp_offsets + jnp.uint32(sample_start)
+        if lanes_ok is not None:
+            # Pad lanes start past every sample limit -> born dead (the
+            # staged compaction drops them after the first stage; the mega
+            # kernel skips them from iteration 0).
+            samp0 = jnp.where(lanes_ok, samp0, jnp.uint32(0xFFFFFFFF))
         acc, segments = trace_fn(
-            scene, cam, pix, samp_offsets + jnp.uint32(sample_start), seed,
+            scene, cam, pix, samp0, seed,
             width=width, height=height, sample_stride=spass,
             sample_end=jnp.uint32(sample_start) + n_samples, spp_cap=spp_cap,
             max_depth=max_depth, t_min=t_min,
@@ -116,6 +130,8 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
         )
         # Mask samples beyond the range (ragged last chunk / spp cap).
         valid = (sample_ids < jnp.uint32(sample_start) + n_samples) & (sample_ids < spp_cap)
+        if lanes_ok is not None:
+            valid = valid & lanes_ok
         radiance = vec3.where(valid, radiance, V3.zeros(valid.shape))
         acc = acc + radiance.map(lambda c: c.reshape(spass, n_pixels).sum(axis=0))
         return (acc, segments + segs), None

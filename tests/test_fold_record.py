@@ -89,3 +89,55 @@ def test_fold_record_matches_recompute(full):
     frac_bad = (diff > 2e-2).mean()
     assert frac_bad <= 0.02, (frac_bad, diff.max())
     assert np.median(diff) < 1e-5
+
+
+def test_fold_sphere_record_matches_recompute():
+    # Sphere-tree analogue (random-scene class): the kernel folds the
+    # winner's world outward normal + mat + has_uv; the record recomputes
+    # UV from the folded normal with no winner-row gather.
+    rng = np.random.default_rng(11)
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=5)
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 7) % 251
+    mats = [b.lambertian(color=(0.6, 0.3, 0.3)),
+            b.metal(color=(0.8, 0.8, 0.8), fuzz=0.1),
+            b.dielectric(1.5),
+            b.lambertian(texture=b.checker_texture((0.1, 0.1, 0.1),
+                                                   (0.9, 0.9, 0.9))),
+            b.lambertian(texture=b.image_texture(img))]
+    b.sphere((0, -1000, 0), 1000, mats[0])
+    for i in range(80):
+        c = (rng.uniform(-6, 6), rng.uniform(0.2, 0.6), rng.uniform(-6, 2))
+        if i % 7 == 0:
+            b.moving_sphere(c, (c[0], c[1] + 0.3, c[2]), 0.0, 1.0, 0.2,
+                            mats[i % 5])
+        else:
+            b.sphere(c, 0.25, mats[i % 5])
+    scene = b.build(sphere_bvh=True, pallas_bvh=True)
+    assert scene.sph_in_bvh and scene.use_pallas_bvh and scene.sph_xf_identity
+    cam = camera_lib.make_camera(
+        lookfrom=(6, 1.5, 2.5), lookat=(0, 0.3, -1), vfov=30,
+        aspect_ratio=W / H, time0=0.0, time1=1.0)
+
+    def render():
+        render_lib.clear_trace_caches()
+        acc, segs = render_lib.render_radiance(
+            scene, cam, jnp.uint32(7), width=W, height=H, spp=2,
+            samples_per_pass=1, max_depth=4, t_min=1e-3)
+        return vec3.to_numpy(acc), int(segs)
+
+    old = (intersect.FOLD_SPH_RECORD, intersect.FOLD_RECORD_MIN_B)
+    try:
+        intersect.FOLD_SPH_RECORD = False
+        ref, segs_ref = render()
+        intersect.FOLD_SPH_RECORD = True
+        intersect.FOLD_RECORD_MIN_B = 0
+        got, segs_got = render()
+    finally:
+        intersect.FOLD_SPH_RECORD, intersect.FOLD_RECORD_MIN_B = old
+        render_lib.clear_trace_caches()
+
+    assert abs(segs_got - segs_ref) <= max(4, 0.01 * segs_ref)
+    diff = np.abs(got - ref)
+    frac_bad = (diff > 2e-2).mean()
+    assert frac_bad <= 0.02, (frac_bad, diff.max())
+    assert np.median(diff) < 1e-5
