@@ -37,11 +37,16 @@ SUBDIVIDE_THRESH = 100  # engine.h:98
 
 
 def _min_bucket() -> int:
-    """Pixel-batch bucket floor.  On TPU each distinct bucket size is a
-    separate (minutes-long, remote) compile; a large floor collapses the
-    levels into 1-2 compiled shapes at negligible padding cost.  On CPU keep
-    buckets small for fast tests."""
-    return 1024 if jax.default_backend() == "cpu" else 32768
+    """Pixel-batch bucket granule.  On TPU each distinct bucket size is a
+    separate (minutes-long, remote) compile, but the persistent compile
+    cache (utils/compcache.py) makes the shapes one-time; buckets round UP
+    to a multiple of this granule.  Dead padding is no longer cheap width:
+    the packet-BVH kernel's cost is blocks x iterations (a block walks the
+    tree for the union of its lanes), so a 3x-oversized bucket costs ~3x
+    tree walks — the old 32768 power-of-two floor made reference_default's
+    level-0 launch (10.8k pixels) pay for 32k lanes.  On CPU keep buckets
+    small for fast tests."""
+    return 1024 if jax.default_backend() == "cpu" else 8192
 
 
 @partial(
@@ -50,12 +55,20 @@ def _min_bucket() -> int:
 )
 def _trace_pixels(scene, cam, pixel_ids, lane_mask, seed, *, width, height,
                   spp, samples_per_pass, max_depth, t_min):
-    return render_lib.radiance_batch(
+    acc, segs = render_lib.radiance_batch(
         scene, cam, pixel_ids, seed, width=width, height=height,
         sample_start=0, n_samples=spp, spp_cap=spp,
         samples_per_pass=samples_per_pass, max_depth=max_depth, t_min=t_min,
         lane_mask=lane_mask,
     )
+    # ONE packed output array -> ONE host fetch.  On this tunnel each
+    # device->host readback costs ~0.3-0.5 s REGARDLESS of size (scalar
+    # round-trip latency, CLAUDE.md rule 13); fetching acc.x/y/z/segs
+    # separately made host glue ~60% of the reference_default adaptive
+    # wall (scripts/probe_adaptive_levels.py).
+    return jnp.concatenate(
+        [acc.x, acc.y, acc.z,
+         jax.lax.bitcast_convert_type(segs[None], jnp.float32)])
 
 
 @partial(
@@ -96,14 +109,16 @@ def _trace_pixels_sharded(scene, cam, pixel_ids, lane_mask, seed, *, mesh,
         out_specs=(P("tile"), P()),
         check_vma=True,  # see parallel/sharding.py note
     )
-    return fn(scene, cam, seed, pixel_ids, lane_mask)
+    acc, segs = fn(scene, cam, seed, pixel_ids, lane_mask)
+    # Same one-fetch packing as _trace_pixels (see note there).
+    return jnp.concatenate(
+        [acc.x, acc.y, acc.z,
+         jax.lax.bitcast_convert_type(segs[None], jnp.float32)])
 
 
 def _bucket(n: int) -> int:
-    b = _min_bucket()
-    while b < n:
-        b *= 2
-    return b
+    g = _min_bucket()
+    return -(-n // g) * g
 
 
 def _to_int_color(radiance_sum, spp):
@@ -205,17 +220,16 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
             return
         traced += len(flat)
         b = _bucket(len(flat))
-        # Widen samples_per_pass toward the ~128k-lane VMEM-residency sweet
-        # spot: adaptive buckets (32-64k pixels) are far below the width the
-        # wavefront was tuned at, so each lane takes a slice of the sample
-        # range instead (the RNG keys on absolute (pixel, sample) ids; only
-        # the per-pixel fp accumulation grouping changes).  CPU keeps the
-        # configured value (tests; no VMEM to fill).
+        # Auto spass widening toward the ~128k-lane sweet spot was measured
+        # and LOSES on reference_default (scripts/ab_adaptive.py, chip,
+        # in-process: spass1 3.07 s, auto-widen 3.77, auto-widen+fold-off
+        # 5.37): the widened buckets are ~2/3 born-dead at level 0 and the
+        # early full-width iterations outweigh the 4x-shorter per-lane
+        # sample ranges.  None therefore means the configured value; the
+        # knob stays for experiments.
         spass = config.adaptive_spass
         if spass is None:
             spass = config.samples_per_pass
-            if jax.default_backend() != "cpu":
-                spass = max(spass, min(spp, max(1, 131072 // b)))
         # Pad lanes are DEAD (lane_mask False -> born past the sample cap):
         # they trace nothing and count no segments.  Before this, padding
         # replicated flat[0] and re-traced real pixels — ~45% of the
@@ -227,16 +241,16 @@ def render_adaptive(scene, cam, config: RenderConfig, mesh=None, progress=None):
         kw = dict(width=W, height=H, spp=spp, samples_per_pass=spass,
                   max_depth=config.max_depth, t_min=config.t_min)
         if mesh is not None:
-            acc, segs = _trace_pixels_sharded(
+            packed = _trace_pixels_sharded(
                 scene, cam, jnp.asarray(padded), jnp.asarray(mask),
                 jnp.uint32(config.seed), mesh=mesh, **kw)
         else:
-            acc, segs = _trace_pixels(
+            packed = _trace_pixels(
                 scene, cam, jnp.asarray(padded), jnp.asarray(mask),
                 jnp.uint32(config.seed), **kw)
-        from another_raytracer_tpu.ops import vec3
-        acc = vec3.to_numpy(acc)[: len(flat)]
-        total_segments += int(segs)  # dead padding: honest count
+        packed = np.asarray(packed)  # the level's single host round trip
+        acc = packed[: 3 * b].reshape(3, b)[:, : len(flat)].T
+        total_segments += int(packed[3 * b :].view(np.int32)[0])
         work[flat // W, flat % W] = _to_int_color(acc, spp)
 
     _level = [0]

@@ -134,9 +134,11 @@ def _kernel(tab_ref, px_ref, py_ref, pz_ref, out_ref, *, rows):
 
 
 def perlin_noise_tpu(scene, p: V3, *, block_rows: int = 64,
-                     interpret: bool = False):
+                     interpret: bool | None = None):
     """[B] Perlin noise for the scene's single perlin instance (pid 0),
     value-matching ops/shade.perlin_noise(scene, 0, p)."""
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
     B = p.x.shape[0]
     lanes = 128 * block_rows
     pad = (-B) % lanes

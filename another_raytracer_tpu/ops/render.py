@@ -142,13 +142,25 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     # check out (see integrator.trace).  Folds away in compilation.
     zp = ((pixel_ids + jnp.uint32(sample_start)) * 0).astype(jnp.float32)
     init = (V3(zp, zp, zp), zp[0].astype(jnp.int32))
-    if n_chunks == 1:
-        (acc, segments), _ = one_pass(init, jnp.uint32(0))
-    else:
-        (acc, segments), _ = jax.lax.scan(
-            init=init, xs=jnp.arange(n_chunks, dtype=jnp.uint32), f=one_pass,
-            unroll=chunk_unroll,
-        )
+    # Differentiable renders whose declared trainable set cannot reach the
+    # noise argument (no geometry / tex_scale / perlin-table leaves) may
+    # evaluate Perlin through the forward Pallas kernel — values f32-ulp
+    # identical, zero p-gradient, exact for that trainable class (the
+    # Lookup formulation's [B,256] one-hots were ~48 ms of the textures
+    # diff step).  Scoped to this trace via a contextvar.
+    from another_raytracer_tpu.ops import shade as shade_lib
+
+    _arg_leaves = ("sph_", "rect_", "tri_", "med_", "per_")
+    noise_fast = (differentiable and trainable is not None and not any(
+        k.startswith(_arg_leaves) or k == "tex_scale" for k in trainable))
+    with shade_lib.noise_value_only(noise_fast):
+        if n_chunks == 1:
+            (acc, segments), _ = one_pass(init, jnp.uint32(0))
+        else:
+            (acc, segments), _ = jax.lax.scan(
+                init=init, xs=jnp.arange(n_chunks, dtype=jnp.uint32),
+                f=one_pass, unroll=chunk_unroll,
+            )
     return acc, segments
 
 

@@ -20,6 +20,10 @@ Scatter contracts (reference locations):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
+import jax
 import jax.numpy as jnp
 
 from another_raytracer_tpu.models import scene as scene_lib
@@ -57,6 +61,26 @@ ATLAS_BARRIER = False
 ATLAS_COMPACT = False
 ATLAS_COMPACT_DIV = 4
 ATLAS_COMPACT_MIN_B = 32768
+
+# Trace-time context: DIFFERENTIABLE renders whose trainable set cannot
+# reach the noise argument (no geometry/tex_scale/perlin-table leaves)
+# may evaluate Perlin through the forward Pallas kernel (values f32-ulp
+# identical, zero gradient w.r.t. p — exact here, since p has no
+# trainable dependence).  The one-hot Lookup formulation this replaces
+# materializes [B,256] one-hots to HBM (~48 ms of the textures diff
+# step).  Set by render.radiance_batch from the caller's declared
+# trainable set; a contextvar (not a module flag) so it is scoped to one
+# trace and cannot leak across jit cache entries (CLAUDE.md rule 11).
+_NOISE_VALUE_ONLY = contextvars.ContextVar("noise_value_only", default=False)
+
+
+@contextlib.contextmanager
+def noise_value_only(flag: bool):
+    tok = _NOISE_VALUE_ONLY.set(bool(flag))
+    try:
+        yield
+    finally:
+        _NOISE_VALUE_ONLY.reset(tok)
 
 
 # --------------------------------------------------------------------------
@@ -188,13 +212,16 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
         (scale, aux) = look(scene.tex_scale, scene.tex_aux)
         from another_raytracer_tpu.ops.pallas import perlin_kernel
 
-        if fast_texel and perlin_kernel.enabled(scene):
+        if ((fast_texel or _NOISE_VALUE_ONLY.get())
+                and perlin_kernel.enabled(scene)):
             # Forward hot loop on TPU: whole-evaluation Pallas kernel with
             # in-register table gathers — the one-hot dots materialize
             # [B,256] one-hots to HBM (~46% of the textures bench).  The
             # differentiable path keeps the Lookups (noise gradients flow
-            # to hit points through them).
-            noise = perlin_kernel.perlin_noise_tpu(scene, p * scale)
+            # to hit points through them) UNLESS the caller declared a
+            # trainable set that cannot reach p (noise_value_only).
+            noise = jax.lax.stop_gradient(
+                perlin_kernel.perlin_noise_tpu(scene, p * scale))
         else:
             noise = perlin_noise(scene, aux, p * scale)
         gray = 0.5 * (1.0 + noise)
@@ -218,13 +245,9 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
             # row gather (~0.39 ms -> ~0.13 ms per bounce at B=90k).
             pidx = off + j * w + i
             if ATLAS_BARRIER:
-                import jax
-
                 (pidx,) = jax.lax.optimization_barrier((pidx,))
             B = pidx.shape[0]
             if ATLAS_COMPACT and B >= ATLAS_COMPACT_MIN_B:
-                import jax
-
                 cap = B // ATLAS_COMPACT_DIV
                 is_img = kind == scene_lib.TEX_IMAGE
                 csum = jnp.cumsum(is_img.astype(jnp.int32))
@@ -249,8 +272,6 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
             else:
                 pk = scene.atlas_packed[pidx]
             if ATLAS_BARRIER:
-                import jax
-
                 (pk,) = jax.lax.optimization_barrier((pk,))
             r = jnp.floor(pk * (1.0 / 65536.0))
             gb = pk - r * 65536.0
