@@ -62,6 +62,12 @@ ATLAS_COMPACT = False
 ATLAS_COMPACT_DIV = 4
 ATLAS_COMPACT_MIN_B = 32768
 
+# Route non-image-winner lanes' packed-atlas indices to texel 0 (their
+# fetched value is select-discarded, so output is bit-identical): probes
+# whether the latency-bound serial gather runs faster when dead/other
+# lanes hit one duplicate address.  A/B knob (scripts/ab_atlas_idx0.py).
+ATLAS_IDX_ZERO = False
+
 # Trace-time context: DIFFERENTIABLE renders whose trainable set cannot
 # reach the noise argument (no geometry/tex_scale/perlin-table leaves)
 # may evaluate Perlin through the forward Pallas kernel (values f32-ulp
@@ -244,6 +250,12 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
             # build-time check).  3x fewer gather-loop elements than the
             # row gather (~0.39 ms -> ~0.13 ms per bounce at B=90k).
             pidx = off + j * w + i
+            if ATLAS_IDX_ZERO:
+                # Lanes whose winner is NOT the image texture discard the
+                # texel anyway (the kind select below); pointing them at
+                # texel 0 probes whether the latency-bound gather runs
+                # faster on duplicate addresses.  Bit-identical output.
+                pidx = jnp.where(kind == scene_lib.TEX_IMAGE, pidx, 0)
             if ATLAS_BARRIER:
                 (pidx,) = jax.lax.optimization_barrier((pidx,))
             B = pidx.shape[0]

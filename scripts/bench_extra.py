@@ -90,6 +90,11 @@ CONFIGS = {
     # Second fused-diff-path config (sweep scene, custom-VJP megakernel
     # primal + replay backward) beyond the Cornell headline.
     "sphere_ground_grad": (sphere_ground_scene, 400, 225, 16, 8, "grad"),
+    # fwd+bwd AT THE FORWARD BENCH CONFIGS (VERDICT r4 item 8): any
+    # residual blow-up on 10,200 tris at 389k rays becomes visible here.
+    "mesh_grad_bench": (library.mesh_scene, 720, 540, 16, 8, "grad"),
+    "final_grad_bench": (library.final_scene, 240, 180, 8, 8, "grad"),
+    "textures_grad": (textures_scene, 400, 225, 16, 8, "grad"),
     # The reference's own default workload: 720x540, 100 spp, max_depth 50,
     # adaptive mode, capsule mesh (tracer_constants.h:6-13, main.cpp:20,44).
     "reference_default": (library.mesh_scene, 720, 540, 100, 50, "adaptive"),
@@ -157,8 +162,29 @@ def run_grad(scene, cam, w, h, spp, depth):
         out = step(params, scene, cam, target)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    return dt, segs, compile_s, {"fwd_bwd": True, "grad_leaves": len(jax.tree.leaves(grads)),
-                                 "grad_norm": round(gnorm, 5)}
+    extra = {"fwd_bwd": True, "grad_leaves": len(jax.tree.leaves(grads)),
+             "grad_norm": round(gnorm, 5)}
+    # Device-span timing (CLAUDE.md rule 13: block_until_ready on
+    # grad-sized outputs can return before device work completes; the
+    # XLA-module span is the honest substrate for grad steps).
+    try:
+        import tempfile
+
+        from another_raytracer_tpu.utils import profiling
+
+        with tempfile.TemporaryDirectory() as logdir:
+            jax.profiler.start_trace(logdir)
+            for _ in range(reps):
+                out = step(params, scene, cam, target)
+            jax.block_until_ready(out)
+            time.sleep(1.0)
+            jax.profiler.stop_trace()
+            dev_ms = profiling.module_device_seconds(logdir) / reps * 1e3
+        extra["device_ms"] = round(dev_ms, 2)
+        extra["device_mrays_per_s"] = round(segs / dev_ms / 1e3, 2)
+    except Exception:
+        pass
+    return dt, segs, compile_s, extra
 
 
 def run_one(name):
