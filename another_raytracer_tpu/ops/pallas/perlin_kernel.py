@@ -165,3 +165,38 @@ def perlin_noise_tpu(scene, p: V3, *, block_rows: int = 64,
         interpret=interpret,
     )(tables, px, py, pz)
     return out.reshape(-1)[:B]
+
+
+# --------------------------------------------------------------------------
+# Value-only evaluation inside DIFFERENTIATED computations
+# --------------------------------------------------------------------------
+# pallas_call has no autodiff rule, so even a stop_gradient'ed call fails
+# jax's linearization ("failed to produce known values for all output
+# primals") when it sits inside a value_and_grad region.  This custom_vjp
+# wrapper gives the kernel an explicit zero-cotangent backward — correct
+# for the noise_value_only class (shade.py): the caller guarantees the
+# noise argument has no trainable dependence.
+
+def _zero_cot(x):
+    import numpy as _np
+
+    if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return jnp.zeros_like(x)
+    return _np.zeros(_np.shape(x), jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def perlin_noise_tpu_nograd(scene, p):
+    return perlin_noise_tpu(scene, p)
+
+
+def _nograd_fwd(scene, p):
+    return perlin_noise_tpu(scene, p), (scene, p)
+
+
+def _nograd_bwd(res, _ct):
+    scene, p = res
+    return jax.tree.map(_zero_cot, scene), jax.tree.map(_zero_cot, p)
+
+
+perlin_noise_tpu_nograd.defvjp(_nograd_fwd, _nograd_bwd)

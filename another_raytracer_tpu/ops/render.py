@@ -151,8 +151,23 @@ def radiance_batch(scene, cam, pixel_ids, seed, *, width, height,
     from another_raytracer_tpu.ops import shade as shade_lib
 
     _arg_leaves = ("sph_", "rect_", "tri_", "med_", "per_")
-    noise_fast = (differentiable and trainable is not None and not any(
-        k.startswith(_arg_leaves) or k == "tex_scale" for k in trainable))
+    geom_reach = trainable is None or any(
+        k.startswith(_arg_leaves) or k == "tex_scale" for k in trainable)
+    # fuzz/ir steer scatter DIRECTIONS, so on scenes that HAVE
+    # metal/dielectric they reach later hit points — and a noise texture
+    # is position-CONTINUOUS, so d(noise)/d(fuzz) is real there (caught by
+    # scripts/ab_noise_diff.py on the final scene: 100% relative grad
+    # error before this clause).  Solid/checker/image are position-
+    # discrete, which is why the fused-diff path's fuzz/ir zeros remain
+    # exact for ITS class.
+    from another_raytracer_tpu.models import scene as scene_lib
+
+    dir_reach = trainable is not None and (
+        ("mat_fuzz" in trainable
+         and scene_lib.MAT_METAL in scene.mat_kinds)
+        or ("mat_ir" in trainable
+            and scene_lib.MAT_DIELECTRIC in scene.mat_kinds))
+    noise_fast = differentiable and not geom_reach and not dir_reach
     with shade_lib.noise_value_only(noise_fast):
         if n_chunks == 1:
             (acc, segments), _ = one_pass(init, jnp.uint32(0))

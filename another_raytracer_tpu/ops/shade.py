@@ -226,8 +226,8 @@ def texture_value(scene, tex_ids, u, v, tu, tv, p: V3,
             # differentiable path keeps the Lookups (noise gradients flow
             # to hit points through them) UNLESS the caller declared a
             # trainable set that cannot reach p (noise_value_only).
-            noise = jax.lax.stop_gradient(
-                perlin_kernel.perlin_noise_tpu(scene, p * scale))
+            noise = perlin_kernel.perlin_noise_tpu_nograd(
+                scene, jax.lax.stop_gradient(p * scale))
         else:
             noise = perlin_noise(scene, aux, p * scale)
         gray = 0.5 * (1.0 + noise)

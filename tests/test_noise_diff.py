@@ -65,3 +65,26 @@ def test_argument_trainables_keep_lookup_path(perlin_scene):
     # proving the Lookup (differentiable) formulation stayed active.
     g = _grads(scene, cam, ("tex_scale",))
     assert np.abs(g["tex_scale"]).max() > 0
+
+
+def test_metal_noise_keeps_lookup_path(monkeypatch):
+    # fuzz steers directions; with a POSITION-CONTINUOUS noise texture in
+    # the scene, d(noise)/d(fuzz) is real — the value-only gate must stay
+    # off when mat_fuzz is trainable on a metal-bearing scene (caught on
+    # the final scene by scripts/ab_noise_diff.py: 100% relative fuzz-grad
+    # error before the gate learned this).
+    from another_raytracer_tpu.models.scene import SceneBuilder
+
+    monkeypatch.setattr(perlin_kernel, "enabled", perlin_kernel.supports)
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=4)
+    b.sphere((0, -100.5, -1), 100,
+             b.lambertian(texture=b.noise_texture(2.0)))
+    b.sphere((0, 0, -1), 0.5, b.metal(color=(0.9, 0.9, 0.9), fuzz=0.4))
+    scene = b.build()
+    cam = camera_lib.make_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1),
+                                 vfov=70, aspect_ratio=W / H)
+    g = _grads(scene, cam, ("mat_fuzz", "background"))
+    # Through the Lookup (differentiable) noise path the fuzz gradient is
+    # nonzero: metal bounces land on the noise ground at fuzz-dependent
+    # points.  A silently-engaged value-only path would zero it.
+    assert np.abs(g["mat_fuzz"]).max() > 0
