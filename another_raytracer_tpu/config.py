@@ -58,13 +58,13 @@ class RenderConfig:
     # Adaptive mode parameters (reference: engine.h:96-333).
     adaptive_tile: int = 12
     adaptive_threshold: float = 100.0
-    # Samples per pass for adaptive's bucketed pixel batches.  None = AUTO:
-    # widen so bucket*spass reaches the ~128k-lane VMEM-residency sweet
-    # spot (TPU only; adaptive buckets are 32-64k pixels, far below it).
-    # An int pins it — adaptive traced-pixel values are then bit-identical
-    # to a single-mode render at that samples_per_pass (the auto widths
-    # only regroup each pixel's per-sample additions, fp-level; see
-    # PARITY #11).
+    # Samples per pass for adaptive's bucketed pixel batches.  None = use
+    # samples_per_pass (traced-pixel values bit-identical to a single-mode
+    # render at that spass).  Auto-widening toward the ~128k-lane sweet
+    # spot was measured and LOSES (scripts/ab_adaptive.py: 3.07 s pinned
+    # vs 3.77 widened on reference_default — the widened buckets are
+    # mostly born-dead and early full-width iterations outweigh shorter
+    # per-lane sample ranges); the knob stays for experiments.
     adaptive_spass: int | None = None
 
     @property

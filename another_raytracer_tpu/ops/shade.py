@@ -65,7 +65,13 @@ ATLAS_COMPACT_MIN_B = 32768
 # Route non-image-winner lanes' packed-atlas indices to texel 0 (their
 # fetched value is select-discarded, so output is bit-identical): probes
 # whether the latency-bound serial gather runs faster when dead/other
-# lanes hit one duplicate address.  A/B knob (scripts/ab_atlas_idx0.py).
+# lanes hit one duplicate address.  MEASURED NEUTRAL in-process
+# (scripts/ab_atlas_idx0.py, 2026-08-21: textures 54.4 vs 54.4 ms, mesh
+# 379.6 vs 380.9, bit-identical) — the emitter pays the same per-element
+# cost for duplicate addresses; no cache effect to exploit.  The angles
+# now exhausted on this gather: barrier (neutral), sub-compaction (3.5x
+# worse), u16/u8 split planes (worse), duplicate-address routing
+# (neutral).  It is latency-bound HBM, full stop.
 ATLAS_IDX_ZERO = False
 
 # Trace-time context: DIFFERENTIABLE renders whose trainable set cannot
