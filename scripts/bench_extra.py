@@ -187,6 +187,18 @@ def run_grad(scene, cam, w, h, spp, depth):
     return dt, segs, compile_s, extra
 
 
+# Cross-process wall variance on this tunnel is large (CLAUDE.md rules
+# 10/12; congested windows read 2-6x high — inflated compile_s is the
+# tell).  Rows listed here carry the warning explicitly so a future
+# round doesn't "regress" them by re-rolling the dice.
+VARIANCE_NOTES = {
+    "mesh_hd": "walls swing 2.9-14 s across identical-code processes; "
+               "compare in-process A/Bs only",
+    "reference_default": "calm-window walls 2.2-2.9 s; congested windows "
+                         "read 5-7 s",
+}
+
+
 def run_one(name):
     builder, w, h, spp, depth, mode = CONFIGS[name]
     scene, cp = builder()
@@ -199,6 +211,8 @@ def run_one(name):
         "segments": segs, "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(), **extra,
     }
+    if name in VARIANCE_NOTES:
+        rec["variance_note"] = VARIANCE_NOTES[name]
     print(json.dumps(rec))
     return rec
 
