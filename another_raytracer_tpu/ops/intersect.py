@@ -357,7 +357,11 @@ def _scan_kind(best, n_total, chunk_fn, kind):
 # per-leaf fold cost is paid at every width while the gather/unpack
 # savings shrink with B, so the integrator only requests aux at batch
 # widths >= FOLD_RECORD_MIN_B (static per trace: regen compaction's
-# narrow tail stages and adaptive's buckets auto-disable).
+# narrow tail stages and adaptive's buckets auto-disable).  Round-5
+# re-check with the FULL fold (scripts/ab_fold_minb.py, in-process,
+# reference_default adaptive): gate 131072 = 2.19 s, 32768 = 2.67,
+# 8192 = 2.99 — the per-leaf fold cost still loses at 16-65k bucket
+# widths even with the larger full-fold savings; the gate stands.
 FOLD_TRI_RECORD = True
 FOLD_RECORD_MIN_B = 131072
 # Fold the FULL record (interpolated texcoords + material id) in-kernel,

@@ -43,6 +43,20 @@ from another_raytracer_tpu.ops import render as render_lib
 from another_raytracer_tpu.utils import assets, imageio
 
 
+def metal_diel_scene():
+    """Four-sphere metal/dielectric/lambertian sweep scene — the fused
+    differentiable path's round-5 widened class (material.h:45-99
+    parameters; tests/test_mega_diff.py verifies grads vs autodiff)."""
+    from another_raytracer_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder(background=(0.70, 0.80, 1.00), seed=2)
+    b.sphere((0, -100.5, -1), 100, b.lambertian(color=(0.8, 0.8, 0.0)))
+    b.sphere((0, 0, -1), 0.5, b.lambertian(color=(0.1, 0.2, 0.5)))
+    b.sphere((-1, 0, -1), 0.5, b.dielectric(1.5))
+    b.sphere((1, 0, -1), 0.5, b.metal(color=(0.8, 0.6, 0.2), fuzz=0.4))
+    return b.build(), dict(lookfrom=(0, 0, 0), lookat=(0, 0, -1), vfov=90)
+
+
 def sphere_ground_scene():
     """BASELINE config 1: one lambertian sphere + ground plane sphere."""
     b = SceneBuilder(background=library.SKY)
@@ -90,6 +104,10 @@ CONFIGS = {
     # Second fused-diff-path config (sweep scene, custom-VJP megakernel
     # primal + replay backward) beyond the Cornell headline.
     "sphere_ground_grad": (sphere_ground_scene, 400, 225, 16, 8, "grad"),
+    # Round-5 widened fused-diff class: metal + dielectric through the
+    # custom-VJP megakernel (albedo routing + unit-attenuation sentinel +
+    # absorption chain-kill).
+    "metal_diel_grad": (metal_diel_scene, 400, 225, 16, 8, "grad"),
     # fwd+bwd AT THE FORWARD BENCH CONFIGS (VERDICT r4 item 8): any
     # residual blow-up on 10,200 tris at 389k rays becomes visible here.
     "mesh_grad_bench": (library.mesh_scene, 720, 540, 16, 8, "grad"),
