@@ -47,11 +47,17 @@ def main():
     iters = 5
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
-    builder, W, H, SPP, DEPTH, _mode = bench_extra.CONFIGS["random"]
+    name = "random"
+    if "--scene" in sys.argv:
+        name = sys.argv[sys.argv.index("--scene") + 1]
+    builder, W, H, SPP, DEPTH, _mode = bench_extra.CONFIGS[name]
     scene, cp = builder()
     cam = camera_lib.make_camera(aspect_ratio=W / H, **cp)
 
-    intersect.FOLD_RECORD_MIN_B = 65536
+    min_b = 65536
+    if "--min-b" in sys.argv:
+        min_b = int(sys.argv[sys.argv.index("--min-b") + 1])
+    intersect.FOLD_SPH_MIN_B = min_b
     fns, images = {}, {}
     for fold in (False, True):
         intersect.FOLD_SPH_RECORD = fold
@@ -81,7 +87,7 @@ def main():
             t = timeit(f, scene, cam, iters=iters)
             results[fold].append(t)
             print(f"round {rnd} fold={int(fold)}  {t*1000:8.2f} ms")
-    print(f"\nrandom: gather {min(results[False])*1000:.2f} ms  "
+    print(f"\n{name}: gather {min(results[False])*1000:.2f} ms  "
           f"fold {min(results[True])*1000:.2f} ms "
           f"({min(results[False])/min(results[True]):.2f}x)")
 
