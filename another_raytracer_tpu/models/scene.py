@@ -183,9 +183,13 @@ class SceneData:
     tri_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     rect_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
     sph_in_bvh: bool = flax.struct.field(pytree_node=False, default=False)
-    # All sphere transforms identity: the sphere-record fold reads the
-    # object-space normal directly from the kernel's world-space one.
-    sph_xf_identity: bool = flax.struct.field(pytree_node=False, default=True)
+    # Sphere-record fold safety: the kernel folds the WORLD outward
+    # normal, which is exact for any rigid transform (n_w = R n_o); only
+    # the spherical UV needs the OBJECT-space normal.  Safe when every
+    # transformed sphere's material texture ignores UV (solid/checker/
+    # noise use the world hit point; image/barycentric consume UV) —
+    # final-scene class: the rotated 1000-sphere cluster is solid-color.
+    sph_fold_safe: bool = flax.struct.field(pytree_node=False, default=True)
     # Which material/texture kinds actually appear — lets shading evaluate
     # only the code paths a scene uses (a Cornell box pays nothing for
     # Perlin-noise gathers or dielectric refraction math).
@@ -716,7 +720,11 @@ class SceneBuilder:
             n_sph_bvh_nodes=n_sph_bvh,
             tri_in_bvh=tri_in_bvh, rect_in_bvh=rect_in_bvh,
             sph_in_bvh=sph_in_bvh,
-            sph_xf_identity=ns == 0 or all(int(x) == 0 for x in sph[6]),
+            sph_fold_safe=ns == 0 or all(
+                int(xf) == 0
+                or self._textures[self._materials[int(m)][1]][0]
+                not in (TEX_IMAGE, TEX_BARYCENTRIC)
+                for xf, m in zip(sph[6], sph[5])),
             bvh_leaf_size=bvh_leaf_size, bvh_block=bvh_block,
             mat_kinds=tuple(sorted({m[0] for m in self._materials})),
             tex_kinds=tuple(sorted({t[0] for t in self._textures})),

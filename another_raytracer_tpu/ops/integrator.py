@@ -145,7 +145,7 @@ def _advance(scene, o, d, time, throughput, alive, pixel_ids, sample_ids,
     fold_tri = (scene.tri_in_bvh and intersect.FOLD_TRI_RECORD
                 and pixel_ids.shape[0] >= intersect.FOLD_RECORD_MIN_B)
     fold_sph = (scene.sph_in_bvh and intersect.FOLD_SPH_RECORD
-                and scene.n_bvh_nodes == 0 and scene.sph_xf_identity
+                and scene.n_bvh_nodes == 0 and scene.sph_fold_safe
                 and pixel_ids.shape[0] >= intersect.FOLD_SPH_MIN_B)
     want_aux = (fast_texel and scene.use_pallas_bvh
                 and (fold_tri or fold_sph))

@@ -380,7 +380,11 @@ FOLD_FULL_RECORD = True
 # random bench 84.5 -> 73.8 ms (1.14x) at B=90k, 99.73% pixels within
 # 2/255, 0.0035%% segment drift (f32 ulp ties).  Its width gate sits
 # lower than the triangle fold's: the sphere fold adds ~9 vector ops to a
-# ~25-op leaf test and measured profitable at 90k.
+# ~25-op leaf test and measured profitable at 90k but NEGATIVE on the
+# final scene at 43k (133 -> 144 ms with the gate forced to 16384) — the
+# 65536 gate stands on both measurements.  Eligibility is per-scene
+# (scene.sph_fold_safe): exact for any rigid transform except when a
+# TRANSFORMED sphere carries a UV-consuming (image/barycentric) texture.
 FOLD_SPH_RECORD = True
 FOLD_SPH_MIN_B = 65536
 
@@ -463,7 +467,7 @@ def closest_hit(scene, o: V3, d: V3, time, u_media, t_min, want_aux=False):
     # object-space normal the UV needs).
     give_sph_aux = (want_aux and FOLD_SPH_RECORD and scene.use_pallas_bvh
                     and scene.n_sph_bvh_nodes > 0 and scene.n_bvh_nodes == 0
-                    and scene.sph_xf_identity)
+                    and scene.sph_fold_safe)
     if scene.n_bvh_nodes:  # planar tree: triangles and/or transformed-rect quads
         if give_aux:
             best, aux = _fold_bvh(scene, best, scene.bvh_packed_nodes,

@@ -105,15 +105,21 @@ def test_fold_sphere_record_matches_recompute():
                                                    (0.9, 0.9, 0.9))),
             b.lambertian(texture=b.image_texture(img))]
     b.sphere((0, -1000, 0), 1000, mats[0])
+    # TRANSFORMED spheres with non-UV-consuming materials stay fold-safe
+    # (the kernel's world normal is exact under rigid transforms; only
+    # image/barycentric textures would consume the object-space UV).
+    xf = b.transform(rotate_y_deg=25.0, translate=(0.5, 0.0, -1.0))
     for i in range(80):
         c = (rng.uniform(-6, 6), rng.uniform(0.2, 0.6), rng.uniform(-6, 2))
         if i % 7 == 0:
             b.moving_sphere(c, (c[0], c[1] + 0.3, c[2]), 0.0, 1.0, 0.2,
                             mats[i % 5])
+        elif i % 5 == 3:  # checker: world-point texture, transform-safe
+            b.sphere(c, 0.25, mats[3], xform=xf)
         else:
             b.sphere(c, 0.25, mats[i % 5])
     scene = b.build(sphere_bvh=True, pallas_bvh=True)
-    assert scene.sph_in_bvh and scene.use_pallas_bvh and scene.sph_xf_identity
+    assert scene.sph_in_bvh and scene.use_pallas_bvh and scene.sph_fold_safe
     cam = camera_lib.make_camera(
         lookfrom=(6, 1.5, 2.5), lookat=(0, 0.3, -1), vfov=30,
         aspect_ratio=W / H, time0=0.0, time1=1.0)
@@ -125,15 +131,15 @@ def test_fold_sphere_record_matches_recompute():
             samples_per_pass=1, max_depth=4, t_min=1e-3)
         return vec3.to_numpy(acc), int(segs)
 
-    old = (intersect.FOLD_SPH_RECORD, intersect.FOLD_RECORD_MIN_B)
+    old = (intersect.FOLD_SPH_RECORD, intersect.FOLD_SPH_MIN_B)
     try:
         intersect.FOLD_SPH_RECORD = False
         ref, segs_ref = render()
         intersect.FOLD_SPH_RECORD = True
-        intersect.FOLD_RECORD_MIN_B = 0
+        intersect.FOLD_SPH_MIN_B = 0
         got, segs_got = render()
     finally:
-        intersect.FOLD_SPH_RECORD, intersect.FOLD_RECORD_MIN_B = old
+        intersect.FOLD_SPH_RECORD, intersect.FOLD_SPH_MIN_B = old
         render_lib.clear_trace_caches()
 
     assert abs(segs_got - segs_ref) <= max(4, 0.01 * segs_ref)
@@ -141,3 +147,18 @@ def test_fold_sphere_record_matches_recompute():
     frac_bad = (diff > 2e-2).mean()
     assert frac_bad <= 0.02, (frac_bad, diff.max())
     assert np.median(diff) < 1e-5
+
+
+def test_fold_sphere_unsafe_with_transformed_image_sphere():
+    # An image-textured sphere UNDER a transform consumes object-space UV
+    # the fold cannot provide: the build must mark the scene fold-unsafe.
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=6)
+    img = np.zeros((4, 4, 3), np.uint8)
+    xf = b.transform(rotate_y_deg=30.0)
+    b.sphere((0, 0, -2), 1.0, b.lambertian(texture=b.image_texture(img)),
+             xform=xf)
+    for i in range(70):
+        b.sphere((i * 0.1, 0, -4), 0.04, b.lambertian(color=(0.5, 0.5, 0.5)))
+    scene = b.build(sphere_bvh=True, pallas_bvh=True)
+    assert scene.sph_in_bvh
+    assert not scene.sph_fold_safe
