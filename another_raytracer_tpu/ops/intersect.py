@@ -387,6 +387,11 @@ FOLD_FULL_RECORD = True
 # TRANSFORMED sphere carries a UV-consuming (image/barycentric) texture.
 FOLD_SPH_RECORD = True
 FOLD_SPH_MIN_B = 65536
+# Read host-PRECOMPUTED per-triangle leaf-test geometry (normal, edge
+# half-planes, |n|^2 inverses — pack_planar cols 17-34) instead of
+# re-deriving it in the kernel's scalar unit at every (node, block)
+# visit.  Trace-time A/B knob (scripts/ab_precomp_tri.py).
+PRECOMP_TRI = True
 
 
 def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
@@ -407,6 +412,7 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
         # The kernel bakes t_min in as a compile-time constant; a traced
         # t_min would silently diverge from the sweeps, so refuse it here
         # (float() raises TracerConversionError on tracers).
+        pre = (prim == "planar" and PRECOMP_TRI and rows.shape[1] >= 35)
         if want_aux and prim in ("planar", "sphere"):
             full = (prim == "planar" and FOLD_FULL_RECORD
                     and rows.shape[1] >= 17)
@@ -414,6 +420,7 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
                 leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
                 prim=prim, time=time, fold_record=True, fold_full=full,
+                precomp=pre,
             )
             t, code, improved = out[:3]
             # planar: (n, u, v[, tu, tv, mat_f32]); sphere: (n, mat, huv)
@@ -422,7 +429,7 @@ def _fold_bvh(scene, best, nodes, rows, o, d, time, t_min, prim,
             t, code, improved = bvh_kernel.bvh_closest_hit(
                 nodes, rows, o, d, bt, bi, t_min=float(t_min),
                 leaf_size=scene.bvh_leaf_size, block=scene.bvh_block,
-                prim=prim, time=time,
+                prim=prim, time=time, precomp=pre,
             )
     else:
         from another_raytracer_tpu.ops import bvh as bvh_ops

@@ -126,7 +126,7 @@ def pack_planar(tree: FlatBVH, v0, v1, v2, codes, uv0=None, uv1=None,
     order = tree.prim_order
     n = order.shape[0]
     full = uv0 is not None
-    rows = _leaf_rows(tree, 24 if full else 16)
+    rows = _leaf_rows(tree, 35 if full else 16)
     rows[:n, 0:3] = np.asarray(v0)[order]
     rows[:n, 3:6] = np.asarray(v1)[order]
     rows[:n, 6:9] = np.asarray(v2)[order]
@@ -137,6 +137,28 @@ def pack_planar(tree: FlatBVH, v0, v1, v2, codes, uv0=None, uv1=None,
         rows[:n, 14:16] = np.asarray(uv2)[order]
         assert np.asarray(mats).max(initial=0) < (1 << 24)
         rows[:n, 16] = np.asarray(mats, np.int64)[order]
+        # Precomputed per-triangle leaf-test geometry (cols 17-34): the
+        # kernel's scalar unit otherwise re-derives these at EVERY
+        # (node, block) visit.  Computed in f32 with the same op order as
+        # tri_test's scalar section, so values match at fma-contraction
+        # ulp level.  Pad rows stay zero: n = 0 -> ndotd = 0 -> never hit.
+        f1 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+        av0, av1, av2 = f1(rows[:n, 0:3]), f1(rows[:n, 3:6]), f1(rows[:n, 6:9])
+        nn = np.cross(av1 - av0, av2 - av0).astype(np.float32)
+        m0 = np.cross(nn, av1 - av0).astype(np.float32)
+        m1 = np.cross(nn, av2 - av1).astype(np.float32)
+        m2 = np.cross(nn, av0 - av2).astype(np.float32)
+        n2 = (nn * nn).sum(1)
+        rows[:n, 17:20] = nn
+        rows[:n, 20] = (nn * av0).sum(1)
+        rows[:n, 21:24] = m0
+        rows[:n, 24:27] = m1
+        rows[:n, 27:30] = m2
+        rows[:n, 30] = (m0 * av0).sum(1)
+        rows[:n, 31] = (m1 * av1).sum(1)
+        rows[:n, 32] = (m2 * av2).sum(1)
+        rows[:n, 33] = 1.0 / np.maximum(n2, 1e-37)
+        rows[:n, 34] = 1.0 / np.sqrt(np.maximum(n2, 1e-37))
     return pack_nodes(tree), rows
 
 
@@ -202,7 +224,8 @@ def pack_spheres(tree: FlatBVH, c0_w, c1_w, t0, t1, r, mats=None,
 def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             esc_ref, meta_ref, rows_ref, ox, oy, oz, dx, dy, dz, tm,
             t0_ref, i0_ref, out_t, out_i, out_hit, *aux_refs, n_nodes, t_min,
-            leaf_size, prim, fold_record=False, fold_full=False):
+            leaf_size, prim, fold_record=False, fold_full=False,
+            precomp=False):
     if fold_record:
         # Winner-record folding ('planar' only): the leaf test already has
         # the triangle's scalar normal and the edge-function values, so the
@@ -258,31 +281,45 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         product (~1.7x fewer vector ops than the direct form; same sign,
         rounding differs at ulp level)."""
         row = base + k
-        v0 = (rows_ref[row, 0], rows_ref[row, 1], rows_ref[row, 2])
-        v1 = (rows_ref[row, 3], rows_ref[row, 4], rows_ref[row, 5])
-        v2 = (rows_ref[row, 6], rows_ref[row, 7], rows_ref[row, 8])
         oid = rows_ref[row, 9]
-
-        def cross(a, b):
-            return (a[1] * b[2] - a[2] * b[1],
-                    a[2] * b[0] - a[0] * b[2],
-                    a[0] * b[1] - a[1] * b[0])
-
-        def sub(a, b):
-            return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
 
         def sdot(a, b):  # scalar . scalar
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-        # --- scalar per-triangle precompute ---
-        n = cross(sub(v1, v0), sub(v2, v0))
-        ndotv0 = sdot(n, v0)
-        m0 = cross(n, sub(v1, v0))
-        m1 = cross(n, sub(v2, v1))
-        m2 = cross(n, sub(v0, v2))
-        c0 = sdot(m0, v0)
-        c1 = sdot(m1, v1)
-        c2 = sdot(m2, v2)
+        if precomp:
+            # Host-precomputed leaf-test geometry (pack_planar cols
+            # 17-34): the scalar unit just loads instead of re-deriving
+            # 3 crosses + 4 dots per (triangle, block) visit.
+            n = (rows_ref[row, 17], rows_ref[row, 18], rows_ref[row, 19])
+            ndotv0 = rows_ref[row, 20]
+            m0 = (rows_ref[row, 21], rows_ref[row, 22], rows_ref[row, 23])
+            m1 = (rows_ref[row, 24], rows_ref[row, 25], rows_ref[row, 26])
+            m2 = (rows_ref[row, 27], rows_ref[row, 28], rows_ref[row, 29])
+            c0 = rows_ref[row, 30]
+            c1 = rows_ref[row, 31]
+            c2 = rows_ref[row, 32]
+        else:
+            v0 = (rows_ref[row, 0], rows_ref[row, 1], rows_ref[row, 2])
+            v1 = (rows_ref[row, 3], rows_ref[row, 4], rows_ref[row, 5])
+            v2 = (rows_ref[row, 6], rows_ref[row, 7], rows_ref[row, 8])
+
+            def cross(a, b):
+                return (a[1] * b[2] - a[2] * b[1],
+                        a[2] * b[0] - a[0] * b[2],
+                        a[0] * b[1] - a[1] * b[0])
+
+            def sub(a, b):
+                return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+            # --- scalar per-triangle precompute ---
+            n = cross(sub(v1, v0), sub(v2, v0))
+            ndotv0 = sdot(n, v0)
+            m0 = cross(n, sub(v1, v0))
+            m1 = cross(n, sub(v2, v1))
+            m2 = cross(n, sub(v0, v2))
+            c0 = sdot(m0, v0)
+            c1 = sdot(m1, v1)
+            c2 = sdot(m2, v2)
 
         # --- vector part ---
         ndotd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
@@ -305,8 +342,12 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
             # u weights vertex 1 (edge m1), v weights vertex 2 (edge m2):
             # the XLA record's dot(n, cross(e, p - a)) / |n|^2 by the same
             # triple-product identity the edge test uses (triangle.h:62-84).
-            inv_n2 = 1.0 / jnp.maximum(sdot(n, n), 1e-37)
-            inv_len = jax.lax.rsqrt(jnp.maximum(sdot(n, n), 1e-37))
+            if precomp:
+                inv_n2 = rows_ref[row, 33]
+                inv_len = rows_ref[row, 34]
+            else:
+                inv_n2 = 1.0 / jnp.maximum(sdot(n, n), 1e-37)
+                inv_len = jax.lax.rsqrt(jnp.maximum(sdot(n, n), 1e-37))
             uu = w1 * inv_n2
             vv = w2 * inv_n2
             aux = ((n[0] * inv_len, n[1] * inv_len, n[2] * inv_len), uu, vv)
@@ -491,12 +532,12 @@ def _kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block", "t_min", "interpret", "leaf_size", "prim",
-                     "fold_record", "fold_full"),
+                     "fold_record", "fold_full", "precomp"),
 )
 def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
                     block=DEFAULT_BLOCK, t_min=1e-3, interpret=None,
                     prim="planar", time=None, fold_record=False,
-                    fold_full=False):
+                    fold_full=False, precomp=False):
     """Packet-traversal closest hit.
 
     Args:
@@ -523,6 +564,8 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     assert not (fold_full and prim != "planar")
     assert not (fold_full and not fold_record)
     assert not (fold_full and rows.shape[1] < 17), "rows lack uv/mat columns"
+    assert not (precomp and (prim != "planar" or rows.shape[1] < 35)), \
+        "precomp needs 35-col planar rows"
     if interpret is None:
         # Auto: Mosaic needs a real TPU; CPU runs (e.g. the multichip CPU
         # dryrun exercising shard_map x packet-kernel composition with a
@@ -572,7 +615,8 @@ def bvh_closest_hit(nodes, rows, o, d, init_t, init_idx, *, leaf_size,
     out = pl.pallas_call(
         functools.partial(_kernel, n_nodes=n_nodes, t_min=t_min,
                           leaf_size=leaf_size, prim=prim,
-                          fold_record=fold_record, fold_full=fold_full),
+                          fold_record=fold_record, fold_full=fold_full,
+                          precomp=precomp),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
