@@ -111,6 +111,7 @@ CONFIGS = {
     # fwd+bwd AT THE FORWARD BENCH CONFIGS (VERDICT r4 item 8): any
     # residual blow-up on 10,200 tris at 389k rays becomes visible here.
     "mesh_grad_bench": (library.mesh_scene, 720, 540, 16, 8, "grad"),
+    "random_grad": (library.random_scene, 400, 225, 8, 8, "grad"),
     "final_grad_bench": (library.final_scene, 240, 180, 8, 8, "grad"),
     "textures_grad": (textures_scene, 400, 225, 16, 8, "grad"),
     # The reference's own default workload: 720x540, 100 spp, max_depth 50,
