@@ -91,14 +91,14 @@ def supports_diff(scene, cam, spp_cap: int, sample_stride: int,
                   max_depth: int) -> bool:
     per_lane_samples = -(-int(spp_cap) // max(int(sample_stride), 1))
     return (
-        mega_kernel.supports(scene, cam)
+        (mega_kernel.supports(scene, cam)
+         or mega_kernel.supports_accel(scene, cam))
         and set(scene.mat_kinds) <= {scene_lib.MAT_LAMBERTIAN,
                                      scene_lib.MAT_METAL,
                                      scene_lib.MAT_DIELECTRIC,
                                      scene_lib.MAT_DIFFUSE_LIGHT}
         and set(scene.tex_kinds) <= {scene_lib.TEX_SOLID,
                                      scene_lib.TEX_CHECKER}
-        and scene.tex_kind.shape[0] <= MAX_TEXTURES
         and per_lane_samples * max_depth <= MAX_RECORD_ITERS
     )
 
@@ -139,13 +139,108 @@ def enabled(scene, cam, spp_cap, sample_stride, max_depth,
                 "zeroes by construction; set mega_diff.FUSED_DIFF = False "
                 "for geometry training")
         return True
-    return (ok and geom == [] and jax.default_backend() not in ("cpu",))
+    # Auto mode: SWEEP scenes only.  The BVH'd-sphere (accel) class works
+    # and its gradients match autodiff (tests/test_mega_diff.py), but it
+    # measured 2.7x SLOWER than XLA autodiff on the random grad step
+    # (scripts/ab_fused_random.py, chip, in-process: 254 vs 675 ms) — the
+    # large-T replay's [iters*B] albedo gathers alone cost ~236 ms at the
+    # latency-bound HBM rate, and the accel primal runs at the residual-
+    # capped block without Morton ordering.  Next steps if revisited:
+    # record the effective attenuation channels in-kernel (kills the
+    # gathers; +12B/iter/lane residual), Morton-order the diff batch, and
+    # merge the checker scatters via a [2T+2] routing table.
+    return (ok and mega_kernel.supports(scene, cam) and geom == []
+            and jax.default_backend() not in ("cpu",))
 
 
 def _zero_cot(x):
     if jnp.issubdtype(jnp.result_type(x), jnp.floating):
         return jnp.zeros_like(x)
     return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+def _bwd_large(scene, codes, tprev, ghat, ca, cb, bg, bgv, has_checker,
+               has_metal, has_diel, decode, cam, pixel_ids, sample_ids0):
+    """Reverse replay for scenes with many textures (see the call site)."""
+    T = ca.shape[0]
+    iters, B = codes.shape
+    tid_all = codes >> 4  # [iters, B] in [0, T]
+    ones = jnp.ones((1,), ca.dtype)
+    # Per-channel albedo xs, gathered once: a [iters*B]-indexed read of a
+    # [T+1] table per channel (rule-8 cost is paid once here, not per
+    # texture per iteration).
+    flat = tid_all.reshape(-1)
+    a_ch = []
+    for c in range(3):
+        cac = jnp.concatenate([ca[:, c], ones])[flat]
+        if has_checker:
+            cbc = jnp.concatenate([cb[:, c], ones])[flat]
+            odd_flat = ((codes.reshape(-1) & 8) != 0)
+            cac = jnp.where(odd_flat, cbc, cac)
+        a_ch.append(cac.reshape(iters, B))
+
+    zeros = jnp.zeros_like(ghat[0])
+    gt0 = jnp.zeros((T + 1,), ca.dtype)
+
+    def bwd_body(carry, x):
+        r, gca, gcb, gbg = carry
+        row, tpx, tpy, tpz, ax, ay, az, tid = x
+        a = (ax, ay, az)
+        tp_prev = (tpx, tpy, tpz)
+        ev, end, odd, _ = decode(row)
+        scat = ev == 1
+        light = ev == 2
+        miss = ev == 3
+        r_after = tuple(jnp.where(end, 0.0, r[c]) for c in range(3))
+        gterm = tuple(ghat[c] * tp_prev[c] for c in range(3))
+        gbg = tuple(gbg[c] + jnp.where(miss, gterm[c], 0.0) for c in range(3))
+        gsc = tuple(gterm[c] * r_after[c] for c in range(3))
+        contrib = tuple(
+            jnp.where(scat, gsc[c], 0.0) + jnp.where(light, gterm[c], 0.0)
+            for c in range(3))
+        if has_checker:
+            gca = tuple(
+                gca[c].at[tid].add(jnp.where(odd, 0.0, contrib[c]),
+                                   mode="drop")
+                for c in range(3))
+            gcb = tuple(
+                gcb[c].at[tid].add(jnp.where(odd, contrib[c], 0.0),
+                                   mode="drop")
+                for c in range(3))
+        else:
+            gca = tuple(gca[c].at[tid].add(contrib[c], mode="drop")
+                        for c in range(3))
+        r = tuple(
+            jnp.where(scat, a[c] * r_after[c],
+                      jnp.where(light, a[c],
+                                jnp.where(miss, bgv[c], r[c])))
+            for c in range(3))
+        if has_metal:
+            dead_end = (ev == 0) & end
+            r = tuple(jnp.where(dead_end, 0.0, r[c]) for c in range(3))
+        return (r, gca, gcb, gbg), None
+
+    gcb0 = (gt0, gt0, gt0) if has_checker else ()
+    (r, gca, gcb, gbg), _ = jax.lax.scan(
+        bwd_body,
+        ((zeros, zeros, zeros), (gt0, gt0, gt0), gcb0,
+         (zeros, zeros, zeros)),
+        (codes, tprev[0], tprev[1], tprev[2],
+         a_ch[0], a_ch[1], a_ch[2], tid_all),
+        reverse=True, unroll=8)
+
+    grad_ca = jnp.stack([g[:T] for g in gca], axis=1)
+    grad_cb = (jnp.stack([g[:T] for g in gcb], axis=1) if has_checker
+               else jnp.zeros_like(cb))
+    grad_bg = jnp.stack([jnp.sum(gbg[c]) for c in range(3)])
+
+    scene_bar = jax.tree.map(_zero_cot, scene)
+    scene_bar = scene_bar.replace(
+        tex_ca=grad_ca.astype(ca.dtype), tex_cb=grad_cb.astype(ca.dtype),
+        background=grad_bg.astype(bg.dtype))
+    cam_bar = jax.tree.map(_zero_cot, cam)
+    return (scene_bar, cam_bar, _zero_cot(pixel_ids), _zero_cot(sample_ids0),
+            np.zeros((), jax.dtypes.float0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -208,6 +303,20 @@ def _traced_bwd(cfg, res, cot):
             m = tid == T
             out = [jnp.where(m, 1.0, out[c]) for c in range(3)]
         return out
+
+    if T > MAX_TEXTURES:
+        # LARGE-T replay (BVH'd-sphere scenes, e.g. the random scene's
+        # ~500 per-sphere solid textures): the per-texture select-sum
+        # above is O(T) VPU work per lane per iteration — instead, gather
+        # the per-iteration albedo channels ONCE outside the scan
+        # ([iters*B]-indexed reads of [T+1] per-channel tables; the +1
+        # sentinel row of ones is the dielectric unit attenuation), and
+        # accumulate cotangents with per-iteration scatter-adds into
+        # [T+1]-per-channel tables carried through the scan (contributions
+        # for the sentinel row land there and are sliced off).
+        return _bwd_large(scene, codes, tprev, ghat, ca, cb, bg, bgv,
+                          has_checker, has_metal, has_diel, decode, cam,
+                          pixel_ids, sample_ids0)
 
     # ---- reverse replay: suffix values + gradient accumulation ------------
     # (prefix throughputs T_prev come straight from the kernel's residual

@@ -232,8 +232,6 @@ def _kernel(*args,
         (uic, camc, lox_r, loy_r, loz_r, hix_r, hiy_r, hiz_r, esc_r, meta_r,
          rows_ref, pix_ref, fi_ref, fj_ref, samp_ref,
          out_tx, out_ty, out_tz, out_seg, *refs) = args
-        (bt_s, bnx_s, bny_s, bnz_s, bmk_s, bca0_s, bca1_s, bca2_s,
-         bcb0_s, bcb1_s, bcb2_s, btk_s, bfz_s, bir_s, *refs) = refs
     else:
         (uic, rows_sm, camc, pix_ref, fi_ref, fj_ref, samp_ref,
          out_tx, out_ty, out_tz, out_seg, *refs) = args
@@ -244,9 +242,16 @@ def _kernel(*args,
     # iteration-ENTRY throughput (T_prev: the replay backward needs it and
     # the kernel already holds it in VMEM, so writing it here saves the
     # bwd an entire forward-replay scan + its [iters,B] stacking DUSes).
-    # Enabled when max_iters > 0.
+    # Enabled when max_iters > 0.  NOTE the pallas arg order: outputs
+    # (incl. residual outputs) precede scratch, so these unpack BEFORE
+    # the accel fold scratch.
     if max_iters:
         out_code, out_tpx, out_tpy, out_tpz, *refs = refs
+    if accel:
+        (bt_s, bnx_s, bny_s, bnz_s, bmk_s, bca0_s, bca1_s, bca2_s,
+         bcb0_s, bcb1_s, bcb2_s, btk_s, bfz_s, bir_s, *refs) = refs
+        if max_iters:
+            btid_s, *refs = refs
     (ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tm_s,
      tpx_s, tpy_s, tpz_s, prx_s, pry_s, prz_s,
      samp_s, bounce_s, alive_s) = refs
@@ -406,6 +411,8 @@ def _kernel(*args,
                 bfz_s[:] = z
             if has_diel:
                 bir_s[:] = z
+            if max_iters:
+                btid_s[:] = z
 
             def slab(j, bt):
                 tn = jnp.full_like(bt, t_min)
@@ -483,6 +490,9 @@ def _kernel(*args,
                         if has_diel:
                             bir_s[:] = jnp.where(
                                 valid, rows_ref[row, _C_IR], bir_s[:])
+                        if max_iters:
+                            btid_s[:] = jnp.where(
+                                valid, rows_ref[row, _C_TID], btid_s[:])
                     bt_s[:] = bt2
 
                 return jnp.where(any_hit, j + 1, esc)
@@ -498,7 +508,7 @@ def _kernel(*args,
             b_tk = btk_s[:] if has_checker else None
             b_fuzz = bfz_s[:] if has_metal else None
             b_ir = bir_s[:] if has_diel else None
-            b_tid = None
+            b_tid = btid_s[:] if max_iters else None
 
         # ---- closest-hit sweep (intersect.closest_hit order) -------------
         if not accel:
@@ -765,7 +775,6 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
 
     accel = scene.n_sph_bvh_nodes > 0
     if accel:
-        assert record_iters == 0, "fused diff path is sweep-scenes only"
         # Packet traversal wants the scene's tuned block (coherence unions;
         # 8192 on the random bench), not the sweep default.
         if block == DEFAULT_BLOCK:
@@ -831,9 +840,11 @@ def trace_regenerative_mega(scene, cam, pixel_ids, sample_ids0, seed, *,
         out_shapes.extend(
             [lane_struct(((B + pad) * record_iters,), jnp.float32, fi)] * 3)
 
-    # The accel fold scratch refs exist only in BVH mode.
+    # The accel fold scratch refs exist only in BVH mode (+1 tid slot
+    # when recording residual codes for the fused differentiable path).
     accel_scratch = (
-        [pltpu.VMEM((block,), jnp.float32)] * 14 if accel else [])
+        [pltpu.VMEM((block,), jnp.float32)] * (14 + (1 if record_iters else 0))
+        if accel else [])
     scratch_shapes = (
         accel_scratch
         + [pltpu.VMEM((block,), jnp.float32)] * 13

@@ -203,6 +203,71 @@ def test_metal_dielectric_grads_match_autodiff():
     assert np.abs(ref[3]).max() == 0 and np.abs(fus[3]).max() == 0
 
 
+def test_bvh_large_t_grads_match_autodiff():
+    # Round-5 class widening #2: BVH'd sphere scenes (the random-scene
+    # class) through the ACCEL megakernel with residual recording, and a
+    # LARGE-T replay (per-iteration albedo gathered once outside the
+    # scan; cotangents scatter-added into [T+1] tables).  Grads must
+    # match XLA autodiff through the scan path.
+    from another_raytracer_tpu.models.scene import SceneBuilder
+
+    rng = np.random.default_rng(9)
+    b = SceneBuilder(background=(0.7, 0.8, 1.0), seed=5)
+    ground = b.lambertian(texture=b.checker_texture((0.2, 0.3, 0.1),
+                                                    (0.9, 0.9, 0.9)))
+    b.sphere((0, -1000, 0), 1000, ground)
+    for i in range(70):
+        c = (rng.uniform(-5, 5), rng.uniform(0.2, 0.5), rng.uniform(-5, 2))
+        if i % 9 == 0:
+            b.sphere(c, 0.25, b.metal(color=tuple(rng.uniform(0.5, 1, 3)),
+                                      fuzz=rng.uniform(0, 0.4)))
+        elif i % 9 == 1:
+            b.sphere(c, 0.25, b.dielectric(1.5))
+        elif i % 7 == 0:
+            b.moving_sphere(c, (c[0], c[1] + 0.3, c[2]), 0.0, 1.0, 0.2,
+                            b.lambertian(color=tuple(rng.uniform(0, 1, 3))))
+        else:
+            b.sphere(c, 0.25,
+                     b.lambertian(color=tuple(rng.uniform(0, 1, 3))))
+    scene = b.build(sphere_bvh=True, pallas_bvh=True)
+    assert scene.sph_in_bvh
+    assert scene.tex_kind.shape[0] > mega_diff.MAX_TEXTURES  # large-T path
+    cam = camera_lib.make_camera(
+        lookfrom=(8, 2, 3), lookat=(0, 0.3, -1), vfov=25,
+        aspect_ratio=W / H, time0=0.0, time1=1.0)
+    assert mega_diff.supports_diff(scene, cam, SPP, 1, DEPTH)
+    w = jnp.asarray(
+        np.random.default_rng(4).uniform(0.2, 1.0, (W * H, 3)), jnp.float32)
+
+    def grads(fused):
+        mega_diff.FUSED_DIFF = fused
+        render_lib.clear_trace_caches()
+        try:
+            def loss(ca, cbp, bgp):
+                s = scene.replace(tex_ca=ca, tex_cb=cbp, background=bgp)
+                acc, _ = render_lib.render_radiance(
+                    s, cam, jnp.uint32(5), width=W, height=H, spp=SPP,
+                    samples_per_pass=1, max_depth=DEPTH, t_min=1e-3,
+                    differentiable=True)
+                return (jnp.sum(acc.x * w[:, 0]) + jnp.sum(acc.y * w[:, 1])
+                        + jnp.sum(acc.z * w[:, 2]))
+
+            return tuple(np.asarray(g) for g in jax.grad(
+                loss, argnums=(0, 1, 2))(scene.tex_ca, scene.tex_cb,
+                                         scene.background))
+        finally:
+            mega_diff.FUSED_DIFF = None
+            render_lib.clear_trace_caches()
+
+    ref = grads(False)
+    fus = grads(True)
+    for g_ref, g_fus in zip(ref, fus):
+        scale = max(np.abs(g_ref).max(), 1e-9)
+        np.testing.assert_allclose(g_fus, g_ref, atol=3e-4 * scale, rtol=3e-4)
+    assert np.abs(ref[0]).max() > 0
+    assert np.abs(ref[1]).max() > 0  # checker odd-cell routing
+
+
 def test_checker_grads_match_autodiff():
     # Checker textures route albedo cotangents to tex_ca/tex_cb by the
     # recorded odd-cell bit; hold the replay to autodiff on a two-spheres
